@@ -1,0 +1,246 @@
+"""Slater–Condon matrix elements, TPU-first.
+
+Physics identical to the reference (cpp_src/cpu/hamiltonian.cpp,
+cpp_src/cpu/excitation.cpp:124-169), but the algorithm is restructured
+for the MXU/VPU instead of per-thread scalar loops:
+
+  * Diagonal  <n|H|n> = occ·diag(h1e) + ½ occᵀ K occ   (quadratic form,
+    K[p,q] = <pq||pq>) — two matmuls for a whole batch.
+  * Singles   <n|H|n_i^a> = (h1e[i,a] + Σ_{k∈occ} <ik||ak>) · sign.
+    The k-sum for *all* (i,a) at once is one matmul occ @ J with
+    J[k, (i,a)] = <ik||ak>, followed by a per-sample gather of the
+    n_singles needed entries.
+  * Doubles   <n|H|n_ij^ab> = <pq||rs> · sign — one flat gather from
+    the compressed triangle per excitation.
+  * Fermionic signs come from a single exclusive-prefix-popcount
+    (cumsum) per sample plus O(1) corrections for the flipped bits —
+    no per-orbital parity loops (vs. onstate.cpp:22-32 called 4× per
+    element in the reference).
+
+All shapes are static given (sorb, noa, nob): this module jit-compiles
+once per sector.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pynqs_tpu.ops import onv
+from pynqs_tpu.ops.excitation import (
+    ExcitationTable,
+    excitation_table,
+    make_comb_bits,
+)
+
+__all__ = [
+    "hij_diagonal",
+    "comb_hij",
+    "hij_pairs",
+    "hij_dense",
+]
+
+
+def hij_diagonal(bits: jax.Array, diag1: jax.Array, K: jax.Array) -> jax.Array:
+    """<n|H|n> for a batch. bits [B, sorb] -> [B]."""
+    occ = bits.astype(K.dtype)
+    e1 = occ @ diag1
+    e2 = 0.5 * jnp.einsum("...p,pq,...q->...", occ, K, occ)
+    return e1 + e2
+
+
+def _tri_index(p0, p1, q0, q1):
+    """Compressed-triangle flat index for canonical (p0>p1, q0>q1)."""
+    ij = p0 * (p0 - 1) // 2 + p1
+    kl = q0 * (q0 - 1) // 2 + q1
+    hi = jnp.maximum(ij, kl)
+    lo = jnp.minimum(ij, kl)
+    return hi * (hi + 1) // 2 + lo
+
+
+def _parity_from_count(cnt: jax.Array) -> jax.Array:
+    return (1 - 2 * (cnt & 1)).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("table", "with_comb"))
+def comb_hij(
+    bits: jax.Array,
+    h1e: jax.Array,
+    h2e: jax.Array,
+    diag1: jax.Array,
+    K: jax.Array,
+    J: jax.Array,
+    *,
+    table: ExcitationTable,
+    with_comb: bool = True,
+):
+    """Fused connected-determinant enumeration + matrix elements.
+
+    The TPU equivalent of the reference's hot `get_comb_hij_fused`
+    (cuda/excitation.cu:130, exposed via bind.cpp).
+
+    bits: [B, sorb] 0/1 int8 samples.
+    Returns (comb_bits, hij):
+      comb_bits: [B, 1 + n_sd, sorb] int8 — row 0 is the sample itself
+                 (matching get_comb_tensor's layout, C_extension.pyi:47+)
+                 or None when with_comb=False.
+      hij:       [B, 1 + n_sd] — hij[:, 0] = <n|H|n>.
+    """
+    sorb = table.sorb
+    ns, nd = table.n_singles, table.n_doubles
+    pos = jnp.asarray(table.pos)  # [n_sd, 4]
+    dtype = K.dtype
+
+    occ = bits.astype(dtype)  # [B, sorb]
+    prefix = onv.prefix_occ(bits)  # [B, sorb] int32
+    merged = onv.merged_orbital_list(bits, table.noa, table.nob)  # [B, sorb]
+    orbs = jnp.take(merged, pos, axis=-1)  # [B, n_sd, 4]
+
+    # ---- diagonal ----
+    hii = hij_diagonal(bits, diag1, K)  # [B]
+
+    # ---- singles: one MXU matmul + gather ----
+    # S_full[b, p*sorb+q] = h1e[p,q] + sum_k occ_k <pk||qk>
+    s_full = occ @ J + h1e.reshape(-1)[None, :]  # [B, sorb*sorb]
+    orb_s = orbs[:, :ns, :]  # [B, ns, 4]
+    i_s = orb_s[..., 0]
+    a_s = orb_s[..., 1]
+    val_s = jnp.take_along_axis(s_full, i_s * sorb + a_s, axis=-1)  # [B, ns]
+    cnt_i = jnp.take_along_axis(prefix, i_s, axis=-1)
+    cnt_a = jnp.take_along_axis(prefix, a_s, axis=-1) - (i_s < a_s)
+    sgn_s = _parity_from_count(cnt_i + cnt_a).astype(dtype)
+    hij_s = val_s * sgn_s
+
+    # ---- doubles: flat gather + prefix-corrected signs ----
+    orb_d = orbs[:, ns:, :]  # [B, nd, 4]
+    i_d, a_d, j_d, b_d = (orb_d[..., k] for k in range(4))
+    p0 = jnp.maximum(i_d, j_d)
+    p1 = jnp.minimum(i_d, j_d)
+    q0 = jnp.maximum(a_d, b_d)
+    q1 = jnp.minimum(a_d, b_d)
+    val_d = jnp.take(h2e, _tri_index(p0, p1, q0, q1))  # [B, nd]
+    cnt_p0 = jnp.take_along_axis(prefix, p0, axis=-1)
+    cnt_p1 = jnp.take_along_axis(prefix, p1, axis=-1)
+    cnt_q0 = (
+        jnp.take_along_axis(prefix, q0, axis=-1)
+        - (p0 < q0)
+        - (p1 < q0)
+        + (q1 < q0)
+    )
+    cnt_q1 = (
+        jnp.take_along_axis(prefix, q1, axis=-1)
+        - (p0 < q1)
+        - (p1 < q1)
+        + (q0 < q1)
+    )
+    sgn_d = _parity_from_count(cnt_p0 + cnt_p1 + cnt_q0 + cnt_q1).astype(dtype)
+    hij_d = val_d * sgn_d
+
+    hij = jnp.concatenate([hii[:, None], hij_s, hij_d], axis=-1)
+
+    comb = None
+    if with_comb:
+        is_double = jnp.concatenate(
+            [jnp.zeros(ns, bool), jnp.ones(nd, bool)]
+        )
+        exc = make_comb_bits(bits, orbs, is_double)  # [B, n_sd, sorb]
+        comb = jnp.concatenate(
+            [bits[:, None, :].astype(jnp.int8), exc], axis=1
+        )
+    return comb, hij
+
+
+def hij_pairs(
+    bra_bits: jax.Array,
+    ket_bits: jax.Array,
+    h1e: jax.Array,
+    h2e: jax.Array,
+    diag1: jax.Array,
+    K: jax.Array,
+    J: jax.Array,
+) -> jax.Array:
+    """General <bra|H|ket> for elementwise-paired batches [..., sorb].
+
+    Handles excitation degree 0/1/2 (zero otherwise), matching
+    get_Hij_cpu (hamiltonian.cpp:87-102).  Used by GFMC / CI-NQS /
+    tests; the VMC hot path uses :func:`comb_hij` instead.
+    """
+    sorb = bra_bits.shape[-1]
+    dtype = K.dtype
+    bra = bra_bits.astype(jnp.int32)
+    ket = ket_bits.astype(jnp.int32)
+    d = jnp.bitwise_xor(bra, ket)
+    cre = d & bra  # occupied in bra only
+    ann = d & ket  # occupied in ket only
+    ncre = cre.sum(-1)
+    nann = ann.sum(-1)
+
+    pref_bra = onv.prefix_occ(bra)
+    pref_ket = onv.prefix_occ(ket)
+    ar = jnp.arange(sorb, dtype=jnp.int32)
+    big = jnp.int32(sorb)
+
+    # positions of set bits (max and min), valid when the count matches
+    def hi_lo(mask):
+        hi = jnp.max(jnp.where(mask > 0, ar, -1), axis=-1)
+        lo = jnp.min(jnp.where(mask > 0, ar, big), axis=-1)
+        return jnp.clip(hi, 0, sorb - 1), jnp.clip(lo, 0, sorb - 1)
+
+    p_hi, p_lo = hi_lo(cre)
+    q_hi, q_lo = hi_lo(ann)
+
+    # --- degree 0 ---
+    hij0 = hij_diagonal(bra, diag1, K)
+
+    # --- degree 1 ---  p = p_hi, q = q_hi
+    # sum_{k in occ(bra)} <pk||qk> = occ · J[:, p*sorb+q]
+    occb = bra.astype(dtype)
+    pq = p_hi * sorb + q_hi
+    j_col = jnp.moveaxis(jnp.take(J, pq, axis=1), 0, -1)  # [..., sorb]
+    val1 = (occb * j_col).sum(-1) + h1e[p_hi, q_hi]
+    s1 = _parity_from_count(
+        jnp.take_along_axis(pref_bra, p_hi[..., None], -1)[..., 0]
+        + jnp.take_along_axis(pref_ket, q_hi[..., None], -1)[..., 0]
+    ).astype(dtype)
+    hij1 = val1 * s1
+
+    # --- degree 2 ---
+    idx2 = _tri_index(p_hi, p_lo, q_hi, q_lo)
+    val2 = jnp.take(h2e, idx2)
+    s2 = _parity_from_count(
+        jnp.take_along_axis(pref_bra, p_hi[..., None], -1)[..., 0]
+        + jnp.take_along_axis(pref_bra, p_lo[..., None], -1)[..., 0]
+        + jnp.take_along_axis(pref_ket, q_hi[..., None], -1)[..., 0]
+        + jnp.take_along_axis(pref_ket, q_lo[..., None], -1)[..., 0]
+    ).astype(dtype)
+    hij2 = val2 * s2
+
+    out = jnp.where(
+        (ncre == 0) & (nann == 0),
+        hij0,
+        jnp.where(
+            (ncre == 1) & (nann == 1),
+            hij1,
+            jnp.where((ncre == 2) & (nann == 2), hij2, jnp.zeros_like(hij0)),
+        ),
+    )
+    return out
+
+
+def hij_dense(
+    bra_bits: jax.Array,
+    ket_bits: jax.Array,
+    h1e: jax.Array,
+    h2e: jax.Array,
+    diag1: jax.Array,
+    K: jax.Array,
+    J: jax.Array,
+) -> jax.Array:
+    """Dense [n, m] matrix <bra_i|H|ket_j> (reference get_hij_torch 2D)."""
+    n = bra_bits.shape[0]
+    m = ket_bits.shape[0]
+    bra = jnp.broadcast_to(bra_bits[:, None, :], (n, m, bra_bits.shape[-1]))
+    ket = jnp.broadcast_to(ket_bits[None, :, :], (n, m, ket_bits.shape[-1]))
+    return hij_pairs(bra, ket, h1e, h2e, diag1, K, J)

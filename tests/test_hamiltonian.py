@@ -1,0 +1,156 @@
+"""Slater–Condon kernels vs. the independent second-quantization oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pynqs_tpu.ops import integrals, onv
+from pynqs_tpu.ops.excitation import (
+    excitation_table,
+    num_singles_doubles,
+)
+from pynqs_tpu.ops.hamiltonian import comb_hij, hij_dense, hij_pairs
+
+import oracle
+
+
+def _random_system(sorb, seed=0):
+    rng = np.random.default_rng(seed)
+    h1e = rng.standard_normal((sorb, sorb))
+    h1e = (h1e + h1e.T) / 2
+    h2e_dense = oracle.random_antisym_h2e(sorb, rng)
+    return h1e, h2e_dense
+
+
+def _tables(h1e, h2e_dense, sorb):
+    h2e_c = integrals.compress_h2e(h2e_dense, sorb)
+    t = integrals.precompute_hij_tables(h1e, h2e_c, sorb)
+    return tuple(
+        jnp.asarray(x) for x in (t.h1e, t.h2e, t.diag1, t.K, t.J)
+    )
+
+
+def test_compress_roundtrip():
+    sorb = 8
+    _, h2e_dense = _random_system(sorb)
+    c = integrals.compress_h2e(h2e_dense, sorb)
+    assert c.shape[0] == integrals.triangle_size(sorb)
+    back = integrals.decompress_h2e(c, sorb)
+    np.testing.assert_allclose(back, h2e_dense, atol=1e-12)
+
+
+def test_hij_dense_vs_oracle():
+    sorb, noa, nob = 8, 2, 2
+    h1e, h2e_dense = _random_system(sorb)
+    dets = oracle.fci_space(sorb, noa, nob)
+    H = oracle.dense_h(dets, h1e, h2e_dense)
+    bits = np.stack([oracle.det_to_bits(d, sorb) for d in dets])
+    ops = _tables(h1e, h2e_dense, sorb)
+    got = np.asarray(hij_dense(jnp.asarray(bits), jnp.asarray(bits), *ops))
+    np.testing.assert_allclose(got, H, atol=1e-10)
+
+
+def test_comb_hij_vs_oracle():
+    sorb, noa, nob = 10, 2, 3
+    nele = noa + nob
+    h1e, h2e_dense = _random_system(sorb, seed=3)
+    ops = _tables(h1e, h2e_dense, sorb)
+    table = excitation_table(sorb, noa, nob)
+    ns, nd, nsd = num_singles_doubles(sorb, noa, nob)
+    assert table.n_sd == nsd
+
+    dets = oracle.fci_space(sorb, noa, nob)
+    rng = np.random.default_rng(7)
+    sample = rng.choice(len(dets), size=12, replace=False)
+    bits = np.stack([oracle.det_to_bits(dets[i], sorb) for i in sample])
+
+    comb, hij = comb_hij(jnp.asarray(bits), *ops, table=table)
+    comb = np.asarray(comb)
+    hij = np.asarray(hij)
+    assert comb.shape == (12, nsd + 1, sorb)
+    assert hij.shape == (12, nsd + 1)
+
+    index = {d: i for i, d in enumerate(dets)}
+    H = oracle.dense_h(dets, h1e, h2e_dense)
+    for r in range(12):
+        n_idx = index[oracle.bits_to_det(bits[r])]
+        seen = set()
+        for c in range(nsd + 1):
+            d2 = oracle.bits_to_det(comb[r, c])
+            # particle numbers conserved
+            assert bin(d2 & 0x55555555555555555555)[2:].count("1") or noa == 0
+            m_idx = index[d2]
+            np.testing.assert_allclose(
+                hij[r, c], H[n_idx, m_idx], atol=1e-10,
+                err_msg=f"row {r} comb {c}",
+            )
+            seen.add(d2)
+        # identity + all SD excitations are distinct
+        assert len(seen) == nsd + 1
+        # completeness: every nonzero H element of this column is covered
+        nonzero = {dets[i] for i in np.nonzero(np.abs(H[:, n_idx]) > 1e-12)[0]}
+        assert nonzero <= seen
+
+
+def test_hij_pairs_degrees():
+    """Degree >2 pairs give exactly zero; degree 0/1/2 match oracle."""
+    sorb, noa, nob = 8, 2, 2
+    h1e, h2e_dense = _random_system(sorb, seed=11)
+    ops = _tables(h1e, h2e_dense, sorb)
+    dets = oracle.fci_space(sorb, noa, nob)
+    bits = np.stack([oracle.det_to_bits(d, sorb) for d in dets])
+    H = oracle.dense_h(dets, h1e, h2e_dense)
+    rng = np.random.default_rng(13)
+    ii = rng.integers(0, len(dets), 200)
+    jj = rng.integers(0, len(dets), 200)
+    got = np.asarray(
+        hij_pairs(jnp.asarray(bits[ii]), jnp.asarray(bits[jj]), *ops)
+    )
+    np.testing.assert_allclose(got, H[ii, jj], atol=1e-10)
+
+
+def test_hubbard_fci_energy():
+    """4-site half-filled Hubbard FCI via our integrals vs oracle eigh."""
+    nsites, t, u = 4, 1.0, 4.0
+    hcore, eri = integrals.hubbard_1d(nsites, t, u)
+    sorb = 2 * nsites
+    h1e, h2e_c = integrals.spin_orbital_from_spatial(hcore, eri)
+    h2e_dense = integrals.decompress_h2e(h2e_c, sorb)
+    # antisymmetrized dense from the direct small-system route agrees
+    h2e_dense2 = integrals.antisymmetrize_spin_h2e(eri)
+    np.testing.assert_allclose(h2e_dense, h2e_dense2, atol=1e-12)
+
+    dets = oracle.fci_space(sorb, 2, 2)
+    H = oracle.dense_h(dets, h1e, h2e_dense)
+    e0 = np.linalg.eigvalsh(H)[0]
+
+    # cross-check: dense H from our kernels has the same ground state
+    bits = np.stack([oracle.det_to_bits(d, sorb) for d in dets])
+    ops = tuple(
+        jnp.asarray(x)
+        for x in (
+            lambda T: (T.h1e, T.h2e, T.diag1, T.K, T.J)
+        )(integrals.precompute_hij_tables(h1e, h2e_c, sorb))
+    )
+    Hj = np.asarray(hij_dense(jnp.asarray(bits), jnp.asarray(bits), *ops))
+    e0j = np.linalg.eigvalsh(Hj)[0]
+    np.testing.assert_allclose(e0j, e0, atol=1e-10)
+    # physical sanity: E0 of 4-site U/t=4 Hubbard chain (open) is negative
+    assert e0 < 0
+
+
+def test_spin_raising_expectation():
+    """<S-S+> penalty operator: zero on singlet-paired closed-shell HF."""
+    sorb, noa, nob = 8, 2, 2
+    h1e_s, h2e_s = integrals.spin_raising(sorb)
+    h2e_dense = integrals.decompress_h2e(h2e_s, sorb)
+    dets = oracle.fci_space(sorb, noa, nob)
+    Hs = oracle.dense_h(dets, h1e_s, h2e_dense)
+    # S-S+ = S² - Sz² - Sz is positive semidefinite on Sz=0 sector
+    evals = np.linalg.eigvalsh(Hs)
+    assert evals.min() > -1e-10
+    # closed-shell HF det (doubly occupied lowest orbitals) is a singlet
+    hf = oracle.bits_to_det(onv.hf_bits(sorb, noa, nob))
+    i = dets.index(hf)
+    # HF singlet: S-S+|HF> has zero diagonal? <HF|S-S+|HF> = 0 for RHF singlet
+    np.testing.assert_allclose(Hs[i, i], 0.0, atol=1e-10)
