@@ -18,9 +18,25 @@ Design notes (vs. the CUDA/C++ reference):
     diagonal is a quadratic form; doubles are a single flat gather
     from the compressed <pq||rs> triangle.
   * Everything is static-shape: excitation tables are precomputed on
-    host per (sorb, noa, nob); sampling uses fixed-capacity buffers.
+    host per (sorb, noa, nob); sampling uses fixed-capacity buffers;
+    dynamic dedup becomes sort + segment-sum at fixed capacity.
+  * Autoregressive sampling is a fixed-capacity tree expansion with
+    exact multinomial branch partitioning and top-k compaction; the
+    same driver serves RNN / Transformer / MPS-RNN / Graph-MPS-RNN /
+    AR-RBM models.
+  * Data parallelism is SPMD: one jitted step over a
+    `jax.sharding.Mesh`, batch axes sharded, parameters replicated —
+    no hand-written collectives.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from pynqs_tpu import ops  # noqa: F401
+from pynqs_tpu import models  # noqa: F401
+from pynqs_tpu import sampler  # noqa: F401
+from pynqs_tpu import energy  # noqa: F401
+from pynqs_tpu import grad  # noqa: F401
+from pynqs_tpu import optim  # noqa: F401
+from pynqs_tpu import parallel  # noqa: F401
+from pynqs_tpu import utils  # noqa: F401
+from pynqs_tpu.utils.system import System  # noqa: F401

@@ -1,0 +1,184 @@
+"""Fixed-node Green's-function Monte Carlo on top of a trial NQS.
+
+Reference: gfmc/walker.py (effective-Hamiltonian sign cure
+`_calculate_green_kernel` :167-235, walker update :260-279, mixed
+estimator with p-step cumulative β products :410-629, Buonaura–Sorella
+comb branching :340-408).
+
+TPU re-design: walkers are a fixed [W, sorb] batch advanced inside one
+jitted iteration — the per-walker Green row is produced by the fused
+comb+Hij kernel, transition sampling is `jax.random.categorical` over
+the row (replacing cumsum+searchsorted), and comb branching is a
+vectorized systematic resampling (sorted uniform comb + searchsorted).
+Under SPMD the walker axis shards over the mesh; the reference's
+rank-0 gather branching becomes a global (auto-collective) cumsum.
+
+Fixed-node effective Hamiltonian (Sorella's sign cure, γ ≥ 0):
+    t_m   = H_nm · Re[ψ_T(m)/ψ_T(n)]        (m ≠ n, similarity xform)
+    V_sf  = Σ_{t_m > 0} t_m                  (sign-violating potential)
+    e_fn  = H_nn + (1 + γ) V_sf              (effective diagonal)
+    G_m   = −t_m        for t_m < 0; γ·|t_m| for t_m > 0  (kept moves)
+    b     = Λ − e_fn + Σ_m G_m/…             (weight multiplier)
+The mixed estimator uses the TRUE local energy e_loc(n).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pynqs_tpu.ops.hamiltonian import comb_hij
+
+__all__ = ["GFMC", "GFMCConfig", "ci_trial_log_psi"]
+
+
+def ci_trial_log_psi(ci):
+    """Trial wavefunction from a CI expansion via LUT (reference
+    CIAnsatz, gfmc/walker.py:44-69): log ψ_T(n) = (log|c_n|, 0 or π)
+    pair, miss → log|ψ| = −690 (≈0 amplitude), so exp(Δ0)cos(Δ1)
+    reproduces the signed ratio."""
+    from pynqs_tpu.ops.lut import WavefunctionLUT
+
+    c = jnp.asarray(ci.coeffs, dtype=jnp.float64)
+    logabs = jnp.log(jnp.maximum(jnp.abs(c), 1e-300))
+    ph = jnp.where(c < 0, jnp.pi, 0.0)
+    lut = WavefunctionLUT.build(
+        jnp.asarray(ci.bits), jnp.stack([logabs, ph], -1)
+    )
+
+    def trial(bits):
+        vals, found = lut.lookup(bits, fill=0.0)
+        la = jnp.where(found, vals[..., 0], -690.0)
+        return jnp.stack([la, vals[..., 1]], -1)
+
+    return trial
+
+
+@dataclass
+class GFMCConfig:
+    n_walkers: int = 1024
+    n_iter: int = 200
+    p_steps: int = 10  # cumulative β-product projection depth
+    tau_lambda: float | None = None  # Λ shift; None = auto per batch
+    gamma: float = 0.0  # sign-cure partial inclusion
+    branch_interval: int = 10
+    seed: int = 0
+
+
+class GFMC:
+    """trial_log_psi: callable bits [B, sorb] -> (log|ψ_T|, arg) pairs."""
+
+    def __init__(self, trial_log_psi, system, config: GFMCConfig | None = None):
+        self.trial = trial_log_psi
+        self.system = system
+        self.cfg = config or GFMCConfig()
+        self._ops = system.tables.astuple()
+        self._table = system.excitation
+
+        cfg = self.cfg
+        h1e, h2e, diag1, K, J = self._ops
+
+        @jax.jit
+        def iteration(walkers, weights, key):
+            comb, hij = comb_hij(
+                walkers, h1e, h2e, diag1, K, J, table=self._table,
+                with_comb=True,
+            )
+            W, M, sorb = comb.shape
+            lp = self.trial(comb.reshape(W * M, sorb)).reshape(W, M, 2)
+            # signed real amplitude ratios under the similarity transform
+            d0 = lp[..., 0] - lp[:, :1, 0]
+            d1 = lp[..., 1] - lp[:, :1, 1]
+            ratio = jnp.exp(d0) * jnp.cos(d1)
+            t = hij[:, 1:] * ratio[:, 1:]  # [W, M-1]
+            viol = t > 0
+            v_sf = jnp.where(viol, t, 0.0).sum(-1)
+            e_fn_diag = hij[:, 0] + (1.0 + cfg.gamma) * v_sf
+            g_off = jnp.where(viol, cfg.gamma * t, -t)  # ≥ 0 kept moves
+            # true local energy for the mixed estimator
+            e_loc = hij[:, 0] + t.sum(-1)
+            # effective local energy of H^FN
+            e_fn = e_fn_diag - g_off.sum(-1)
+
+            lam = (
+                cfg.tau_lambda
+                if cfg.tau_lambda is not None
+                else jnp.max(e_fn_diag) + 1.0
+            )
+            g_diag = lam - e_fn_diag  # ≥ 0
+            b = g_diag + g_off.sum(-1)  # normalization = Λ − e_fn
+
+            # transition: stay with g_diag, move m with g_off[m]
+            logits = jnp.log(
+                jnp.maximum(jnp.concatenate([g_diag[:, None], g_off], -1), 1e-300)
+            )
+            key, k1 = jax.random.split(key)
+            choice = jax.random.categorical(k1, logits, axis=-1)  # [W]
+            new_walkers = jnp.take_along_axis(
+                comb, choice[:, None, None], axis=1
+            )[:, 0, :]
+            weights = weights * b
+            return new_walkers, weights, e_loc, b, key
+
+        self._iteration = iteration
+
+        @jax.jit
+        def branch(walkers, weights, key):
+            """Systematic comb resampling (Buonaura–Sorella)."""
+            W = weights.shape[0]
+            wsum = weights.sum()
+            cum = jnp.cumsum(weights) / wsum
+            key, k1 = jax.random.split(key)
+            u0 = jax.random.uniform(k1, ())
+            combs = (u0 + jnp.arange(W)) / W
+            idx = jnp.searchsorted(cum, combs)
+            idx = jnp.clip(idx, 0, W - 1)
+            return (
+                jnp.take(walkers, idx, axis=0),
+                jnp.full((W,), wsum / W),
+                key,
+            )
+
+        self._branch = branch
+
+    def run(self, init_walkers, key=None, n_iter: int | None = None):
+        """init_walkers [W, sorb] (e.g. VMC samples repeated by counts).
+
+        Returns dict with per-iteration mixed-estimator energies for
+        each projection depth 0..p_steps (energy[p] uses the product of
+        the last p weight factors — reference run():410-629).
+        """
+        cfg = self.cfg
+        n_iter = n_iter or cfg.n_iter
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        walkers = jnp.asarray(init_walkers, dtype=jnp.int8)
+        W = walkers.shape[0]
+        weights = jnp.ones((W,))
+        # ring buffer of the last p_steps normalized weight factors
+        factors = jnp.ones((max(cfg.p_steps, 1), W))
+        energies = []
+        ecore = self.system.ecore
+        for it in range(n_iter):
+            key, k = jax.random.split(key)
+            walkers, weights, e_loc, b, _ = self._iteration(walkers, weights, k)
+            factors = jnp.concatenate(
+                [factors[1:], (b / b.mean())[None, :]], axis=0
+            )
+            # cumf[j] = product of the last (j+1) factors
+            cumf = jnp.cumprod(factors[::-1], axis=0)
+            e_row = [float(e_loc.mean()) + ecore]  # depth 0
+            for p in range(1, cfg.p_steps + 1):
+                wp = cumf[p - 1]
+                e_row.append(float((wp * e_loc).sum() / wp.sum()) + ecore)
+            energies.append(e_row)
+            if cfg.branch_interval and (it + 1) % cfg.branch_interval == 0:
+                key, k = jax.random.split(key)
+                walkers, weights, _ = self._branch(walkers, weights, k)
+        return {
+            "energy": np.asarray(energies),  # [n_iter, p_steps+1]
+            "walkers": np.asarray(walkers),
+            "weights": np.asarray(weights),
+        }

@@ -1,0 +1,290 @@
+"""Graph-MPS-RNN: tensor-network RNN over an arbitrary orbital DAG.
+
+Re-design of the reference flagship ansatz (vmc/ansatz/rnn/
+graph_mpsrnn.py, used for Fe2S2) and its 2D special case
+(rnn/mps_rnn.py — a snake-ordered lattice is just a particular DAG, so
+one implementation covers both; see :func:`chain_graph` /
+:func:`grid_snake_graph`).
+
+Physics: spatial orbitals are visited in a topological order of a DAG.
+Each site i has a 4-state local space x ∈ {0: empty, 1: ↑, 2: ↓, 3: ↑↓}
+and a complex hidden vector h_i ∈ C^dcut:
+
+    h̃_i(x) = Σ_{p ∈ pred(i)} M_{i,p,x} · h_p  +  v_{i,x}
+    P(x_i = x | prefix) ∝ ‖h̃_i(x)‖²   (masked by (N, Sz) feasibility)
+    h_i = h̃_i(x_i) / ‖h̃_i(x_i)‖
+    φ_i = w_i · Re/Im(h_i) + c_i        (per-site phase readout)
+
+    log ψ = Σ_i [ ½ log P(x_i) + i φ_i ] + i·π·[sgn_perm < 0]
+
+The fermionic reordering sign between the DAG visiting order and the
+canonical ascending spin-orbital order is the static quadratic form
+:func:`pynqs_tpu.ops.onv.permute_sgn` (reference: `permute_sgn` CUDA
+kernel applied in graph_mpsrnn.py:983-1148 forward).
+
+TPU design decisions (vs. the reference):
+  * Complex hidden states/weights carried as trailing (re, im) real
+    pairs — all arithmetic stays in real MXU matmuls.
+  * Per-site transition tensors are stacked [norb, maxP, 4, dcut, dcut]
+    with a padded predecessor table; each AR step is one batched
+    einsum over [C, dcut] hidden registers (the reference's dynamic
+    register allocator `allocate_registers` becomes a dense [C, norb,
+    dcut] state buffer; register-liveness compaction is a later
+    memory optimization).
+  * The DMRG warm start (`params_file`, dcut-growing pad) is handled
+    by utils/checkpoint-level parameter surgery, not in the model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pynqs_tpu.ops import onv as onv_ops
+from pynqs_tpu.sampler.symmetry import apply_mask_logp, mask_two_site
+
+__all__ = [
+    "GraphMPSRNN",
+    "chain_graph",
+    "grid_snake_graph",
+    "graph_from_edges",
+]
+
+
+def graph_from_edges(norb: int, edges: list[tuple[int, int]], order=None):
+    """Build (order, pred_table) from DAG edges (u -> v means h_u feeds v).
+
+    ``order`` defaults to 0..norb-1 (edges must point forward in it).
+    Returns (order [norb], preds list-of-lists in visiting order).
+    """
+    if order is None:
+        order = list(range(norb))
+    pos = {s: t for t, s in enumerate(order)}
+    preds = [[] for _ in range(norb)]
+    for u, v in edges:
+        if pos[u] >= pos[v]:
+            raise ValueError(f"edge {u}->{v} not forward in visiting order")
+        preds[pos[v]].append(u)
+    return order, preds
+
+
+def chain_graph(norb: int, order=None):
+    """1D MPS-RNN: each site's predecessor is the previous in order."""
+    if order is None:
+        order = list(range(norb))
+    edges = [(order[t - 1], order[t]) for t in range(1, norb)]
+    return graph_from_edges(norb, edges, order)
+
+
+def grid_snake_graph(nx: int, ny: int):
+    """2D snake-ordered lattice (reference MPS_RNN_2D, rnn/mps_rnn.py):
+    horizontal chain neighbor + vertical neighbor from previous row."""
+    norb = nx * ny
+
+    def site(r, c):
+        return r * nx + (c if r % 2 == 0 else nx - 1 - c)
+
+    order = [site(r, c) for r in range(ny) for c in range(nx)]
+    edges = []
+    for t in range(1, norb):
+        edges.append((order[t - 1], order[t]))
+    # vertical predecessor: same column, previous row
+    for r in range(1, ny):
+        for c in range(nx):
+            s = r * nx + c
+            p = (r - 1) * nx + c
+            # chain edge may duplicate the vertical one at snake turns
+            if (p, s) not in edges and (s, p) not in edges:
+                edges.append((p, s))
+    return graph_from_edges(norb, edges, order)
+
+
+def _cmul(a_re, a_im, b_re, b_im):
+    return a_re * b_re - a_im * b_im, a_re * b_im + a_im * b_re
+
+
+@dataclass(frozen=True, eq=False)  # identity hash (ndarray fields)
+class GraphMPSRNN:
+    sorb: int
+    noa: int
+    nob: int
+    dcut: int = 16
+    graph: tuple = None  # (order, preds) from chain_graph/graph_from_edges
+    dtype: jnp.dtype = jnp.float64
+    sites_per_step: int = 2
+    # static tables, filled in __post_init__
+    _order: tuple = field(default=None, repr=False)
+    _pred: np.ndarray = field(default=None, repr=False)
+    _pred_mask: np.ndarray = field(default=None, repr=False)
+    _sgnA: np.ndarray = field(default=None, repr=False)
+
+    def __post_init__(self):
+        norb = self.sorb // 2
+        g = self.graph if self.graph is not None else chain_graph(norb)
+        order, preds = g
+        maxp = max(1, max(len(p) for p in preds))
+        pred = np.zeros((norb, maxp), np.int32)
+        mask = np.zeros((norb, maxp), np.float64)
+        for t, ps in enumerate(preds):
+            for j, p in enumerate(ps):
+                pred[t, j] = p
+                mask[t, j] = 1.0
+        # spin-orbital visiting order: (2s, 2s+1) per spatial site
+        so_order = np.stack([2 * np.asarray(order), 2 * np.asarray(order) + 1], 1).reshape(-1)
+        object.__setattr__(self, "_order", tuple(int(s) for s in order))
+        object.__setattr__(self, "_pred", pred)
+        object.__setattr__(self, "_pred_mask", mask)
+        object.__setattr__(
+            self, "_sgnA", onv_ops.permute_sgn_matrix(so_order)
+        )
+        object.__setattr__(self, "_so_order", so_order)
+
+    @property
+    def norb(self) -> int:
+        return self.sorb // 2
+
+    @property
+    def site_order(self):
+        return self._order
+
+    @property
+    def maxp(self) -> int:
+        return self._pred.shape[1]
+
+    def init(self, key: jax.Array):
+        norb, d, mp = self.norb, self.dcut, self.maxp
+        k = jax.random.split(key, 6)
+        s = 1.0 / np.sqrt(d * max(1, mp))
+        shapeM = (norb, mp, 4, d, d)
+
+        def nrm(kk, shape, scale):
+            return scale * jax.random.normal(kk, shape, self.dtype)
+
+        # near-identity init keeps early hidden states well-conditioned
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=self.dtype), shapeM)
+        return {
+            "M_re": eye / max(1, mp) + nrm(k[0], shapeM, 0.1 * s),
+            "M_im": nrm(k[1], shapeM, 0.1 * s),
+            "v_re": nrm(k[2], (norb, 4, d), 0.1),
+            "v_im": nrm(k[3], (norb, 4, d), 0.1),
+            "w_ph": nrm(k[4], (norb, 4, 2 * d), 1.0 / np.sqrt(2 * d)),
+            "c_ph": jnp.zeros((norb, 4), self.dtype),
+            "eta": jnp.ones((norb, 4, d), self.dtype),  # learned P metric
+            "global_phase": jnp.zeros((), self.dtype),
+        }
+
+    # ---------------- core site update ----------------
+
+    def _site_update(self, params, t: int, h_re, h_im):
+        """h_{re,im}: [B, norb, d] register file.  Returns per-value
+        candidate hiddens and their log-weights for site index t (in
+        visiting order): (ht_re, ht_im [B, 4, d], logw [B, 4])."""
+        pred = self._pred[t]  # [mp]
+        pmask = jnp.asarray(self._pred_mask[t], self.dtype)  # [mp]
+        hp_re = h_re[:, pred]  # [B, mp, d]
+        hp_im = h_im[:, pred]
+        M_re = params["M_re"][t]  # [mp, 4, d, d]
+        M_im = params["M_im"][t]
+        # complex batched matvec, masked over padded predecessors
+        t_re = jnp.einsum("pxde,bpe->bxd", M_re, hp_re * pmask[None, :, None]) - jnp.einsum(
+            "pxde,bpe->bxd", M_im, hp_im * pmask[None, :, None]
+        )
+        t_im = jnp.einsum("pxde,bpe->bxd", M_re, hp_im * pmask[None, :, None]) + jnp.einsum(
+            "pxde,bpe->bxd", M_im, hp_re * pmask[None, :, None]
+        )
+        ht_re = t_re + params["v_re"][t][None]
+        ht_im = t_im + params["v_im"][t][None]
+        eta = jax.nn.softplus(params["eta"][t])[None]  # positive metric
+        w = (eta * (ht_re**2 + ht_im**2)).sum(-1)  # [B, 4]
+        logw = jnp.log(jnp.maximum(w, 1e-300))
+        return ht_re, ht_im, logw
+
+    def _phase_site(self, params, t: int, x, h_re, h_im):
+        """Per-site phase readout for chosen value x: [B]."""
+        hcat = jnp.concatenate([h_re, h_im], -1)  # [B, 2d]
+        wv = params["w_ph"][t][x]  # [B, 2d]
+        cv = params["c_ph"][t][x]  # [B]
+        return (wv * hcat).sum(-1) + cv
+
+    # ---------------- forward ----------------
+
+    def log_psi(self, params, bits: jax.Array) -> jax.Array:
+        bits = bits.astype(jnp.int32)
+        squeeze = bits.ndim == 1
+        if squeeze:
+            bits = bits[None]
+        B = bits.shape[0]
+        norb, d = self.norb, self.dcut
+
+        vals_canon = bits[:, 0::2] + 2 * bits[:, 1::2]  # [B, norb] by site id
+        cum_a = jnp.cumsum(bits[:, 0::2][:, list(self._order)], -1)
+        cum_b = jnp.cumsum(bits[:, 1::2][:, list(self._order)], -1)
+        zeros = jnp.zeros((B, 1), cum_a.dtype)
+        used_a_seq = jnp.concatenate([zeros, cum_a[:, :-1]], 1)
+        used_b_seq = jnp.concatenate([zeros, cum_b[:, :-1]], 1)
+
+        h_re = jnp.zeros((B, norb, d), self.dtype)
+        h_im = jnp.zeros((B, norb, d), self.dtype)
+        log_amp = jnp.zeros((B,), self.dtype)
+        phase = jnp.zeros((B,), self.dtype)
+        for t in range(norb):
+            s = self._order[t]
+            x = vals_canon[:, s]  # [B]
+            ht_re, ht_im, logw = self._site_update(params, t, h_re, h_im)
+            rem = norb - t - 1
+            mask = mask_two_site(
+                used_a_seq[:, t], used_b_seq[:, t], self.noa, self.nob, rem, rem
+            )
+            logp = apply_mask_logp(logw, mask)  # [B, 4]
+            log_amp = log_amp + 0.5 * jnp.take_along_axis(
+                logp, x[:, None], -1
+            )[:, 0]
+            sel_re = jnp.take_along_axis(ht_re, x[:, None, None], 1)[:, 0]
+            sel_im = jnp.take_along_axis(ht_im, x[:, None, None], 1)[:, 0]
+            nrm = jax.lax.rsqrt(
+                jnp.maximum((sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-300)
+            )
+            sel_re, sel_im = sel_re * nrm, sel_im * nrm
+            h_re = h_re.at[:, s].set(sel_re)
+            h_im = h_im.at[:, s].set(sel_im)
+            phase = phase + self._phase_site(params, t, x, sel_re, sel_im)
+
+        sgn = onv_ops.permute_sgn(bits[:, self._so_order], jnp.asarray(self._sgnA))
+        phase = phase + params["global_phase"] + jnp.pi * (1 - sgn) / 2
+        from pynqs_tpu.ops import cplx
+
+        out = cplx.make(log_amp, phase.astype(self.dtype))
+        return out[0] if squeeze else out
+
+    # ---------------- AR-sampling contract ----------------
+
+    def ar_init(self, params, capacity: int):
+        z = jnp.zeros((capacity, self.norb, self.dcut), self.dtype)
+        return {"h_re": z, "h_im": z, "step_cache": None}
+
+    def ar_step(self, params, carry, k: int, prev: jax.Array):
+        # finalize previous step's chosen hidden (needs prev value)
+        if k > 0:
+            t_prev = k - 1
+            s_prev = self._order[t_prev]
+            ht_re, ht_im, _ = self._site_update(
+                params, t_prev, carry["h_re"], carry["h_im"]
+            )
+            sel_re = jnp.take_along_axis(ht_re, prev[:, None, None], 1)[:, 0]
+            sel_im = jnp.take_along_axis(ht_im, prev[:, None, None], 1)[:, 0]
+            nrm = jax.lax.rsqrt(
+                jnp.maximum(
+                    (sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-300
+                )
+            )
+            carry = {
+                "h_re": carry["h_re"].at[:, s_prev].set(sel_re * nrm),
+                "h_im": carry["h_im"].at[:, s_prev].set(sel_im * nrm),
+                "step_cache": None,
+            }
+        _, _, logw = self._site_update(params, k, carry["h_re"], carry["h_im"])
+        logp = logw - jax.scipy.special.logsumexp(logw, -1, keepdims=True)
+        return logp, carry

@@ -1,0 +1,214 @@
+"""GPT-style decoder wavefunction (2-site, 4-way conditionals).
+
+Re-design of the reference DecoderWaveFunction + nanoGPT core
+(vmc/ansatz/transformer/decoder.py, transformer/nanogpt/model.py):
+a causal transformer over sorb/2 two-site blocks; vocabulary
+{00, 10, 01, 11} plus a start token; amplitude from masked softmax
+conditionals (the reference's "softmax-log" norm method,
+decoder.py:174-191), phase from an MLP over the full spin
+configuration plus a learnable global phase
+(vmc/ansatz/utils.py:240-257).
+
+TPU design: teacher-forced forward is one batched causal-attention
+pass (MXU matmuls, static block_size); AR sampling uses the generic
+fixed-capacity driver with a **preallocated KV cache** [C, L, h, dh]
+carried through the site loop and row-gathered on branching — the
+reference's dynamic cache concat + slice (decoder.py:299-345) becomes
+a static `dynamic_update_slice` at step k.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pynqs_tpu.ops.onv import bits_to_spins
+from pynqs_tpu.sampler.symmetry import apply_mask_logp, mask_two_site
+
+__all__ = ["DecoderWavefunction"]
+
+
+def _dense_init(key, n_in, n_out, dtype, scale=None):
+    if scale is None:
+        scale = 1.0 / np.sqrt(n_in)
+    return {
+        "w": scale * jax.random.normal(key, (n_in, n_out), dtype=dtype),
+        "b": jnp.zeros((n_out,), dtype=dtype),
+    }
+
+
+def _dense(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _ln(p, x, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def _ln_init(d, dtype):
+    return {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+
+
+@dataclass(frozen=True)
+class DecoderWavefunction:
+    sorb: int
+    noa: int
+    nob: int
+    n_layer: int = 2
+    n_head: int = 4
+    d_model: int = 64
+    phase_hidden: int = 64
+    dtype: jnp.dtype = jnp.float64
+    sites_per_step: int = 2
+
+    @property
+    def n_blocks(self) -> int:
+        return self.sorb // 2
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_head
+
+    def init(self, key: jax.Array):
+        d = self.d_model
+        keys = iter(jax.random.split(key, 8 + 6 * self.n_layer))
+        p = {
+            # 5 input symbols: start token + 4 block values
+            "wte": 0.02 * jax.random.normal(next(keys), (5, d), self.dtype),
+            "wpe": 0.02
+            * jax.random.normal(next(keys), (self.n_blocks, d), self.dtype),
+            "blocks": [],
+            "lnf": _ln_init(d, self.dtype),
+            "head": _dense_init(next(keys), d, 4, self.dtype, scale=0.02),
+            "ph1": _dense_init(next(keys), self.sorb, self.phase_hidden, self.dtype),
+            "ph2": _dense_init(next(keys), self.phase_hidden, 1, self.dtype),
+            "global_phase": jnp.zeros((), self.dtype),
+        }
+        blocks = []
+        for _ in range(self.n_layer):
+            blocks.append(
+                {
+                    "ln1": _ln_init(d, self.dtype),
+                    "qkv": _dense_init(next(keys), d, 3 * d, self.dtype),
+                    "proj": _dense_init(next(keys), d, d, self.dtype),
+                    "ln2": _ln_init(d, self.dtype),
+                    "fc": _dense_init(next(keys), d, 4 * d, self.dtype),
+                    "fc2": _dense_init(next(keys), 4 * d, d, self.dtype),
+                }
+            )
+        p["blocks"] = blocks
+        return p
+
+    # ---------------- full (teacher-forced) forward ----------------
+
+    def _logits_full(self, params, tokens: jax.Array) -> jax.Array:
+        """tokens [B, L] in 0..4 (first is start=4). Returns [B, L, 4]."""
+        B, L = tokens.shape
+        h = params["wte"][tokens] + params["wpe"][None, :L]
+        causal = jnp.tril(jnp.ones((L, L), bool))
+        for blk in params["blocks"]:
+            x = _ln(blk["ln1"], h)
+            qkv = _dense(blk["qkv"], x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads(t):
+                return t.reshape(B, L, self.n_head, self.d_head).swapaxes(1, 2)
+
+            q, k, v = heads(q), heads(k), heads(v)
+            att = (q @ k.swapaxes(-1, -2)) / np.sqrt(self.d_head)
+            att = jnp.where(causal[None, None], att, -1e30)
+            att = jax.nn.softmax(att, axis=-1)
+            y = (att @ v).swapaxes(1, 2).reshape(B, L, self.d_model)
+            h = h + _dense(blk["proj"], y)
+            x = _ln(blk["ln2"], h)
+            h = h + _dense(blk["fc2"], jax.nn.gelu(_dense(blk["fc"], x)))
+        h = _ln(params["lnf"], h)
+        return _dense(params["head"], h)
+
+    def _cond_logp(self, params, bits: jax.Array) -> jax.Array:
+        """Masked normalized conditional log-probs [B, n_blocks, 4]."""
+        B = bits.shape[0]
+        nb = self.n_blocks
+        vals = (bits[:, 0::2] + 2 * bits[:, 1::2]).astype(jnp.int32)  # [B, nb]
+        tokens = jnp.concatenate(
+            [jnp.full((B, 1), 4, jnp.int32), vals[:, :-1]], axis=1
+        )
+        logits = self._logits_full(params, tokens)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+
+        cum_a = jnp.cumsum(bits[:, 0::2], -1)
+        cum_b = jnp.cumsum(bits[:, 1::2], -1)
+        zeros = jnp.zeros((B, 1), cum_a.dtype)
+        used_a = jnp.concatenate([zeros, cum_a[:, :-1]], 1)
+        used_b = jnp.concatenate([zeros, cum_b[:, :-1]], 1)
+        rem = jnp.asarray(nb - 1 - np.arange(nb))
+        mask = mask_two_site(
+            used_a, used_b, self.noa, self.nob, rem[None, :], rem[None, :]
+        )  # [B, nb, 4] via broadcast of per-step remaining
+        return apply_mask_logp(logp, mask)
+
+    def log_psi(self, params, bits: jax.Array) -> jax.Array:
+        bits = bits.astype(jnp.int32)
+        squeeze = bits.ndim == 1
+        if squeeze:
+            bits = bits[None]
+        logp = self._cond_logp(params, bits)
+        vals = (bits[:, 0::2] + 2 * bits[:, 1::2]).astype(jnp.int32)
+        picked = jnp.take_along_axis(logp, vals[..., None], axis=-1)[..., 0]
+        log_amp = 0.5 * picked.sum(-1)
+        spins = bits_to_spins(bits, self.dtype)
+        phase = (
+            _dense(params["ph2"], jnp.tanh(_dense(params["ph1"], spins)))[..., 0]
+            + params["global_phase"]
+        )
+        from pynqs_tpu.ops import cplx
+
+        out = cplx.make(log_amp, phase)
+        return out[0] if squeeze else out
+
+    # ---------------- AR-sampling contract ----------------
+
+    def ar_init(self, params, capacity: int):
+        shape = (
+            capacity,
+            self.n_layer,
+            self.n_blocks,
+            self.n_head,
+            self.d_head,
+        )
+        return {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+        }
+
+    def ar_step(self, params, carry, k: int, prev: jax.Array):
+        C = prev.shape[0]
+        tok = jnp.full((C,), 4, jnp.int32) if k == 0 else prev
+        h = params["wte"][tok] + params["wpe"][k]  # [C, d]
+        pos_mask = (np.arange(self.n_blocks) <= k)[None, None, :]  # [1,1,L]
+        for li, blk in enumerate(params["blocks"]):
+            x = _ln(blk["ln1"], h)
+            qkv = _dense(blk["qkv"], x)
+            q, kk, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(C, self.n_head, self.d_head)
+            kk = kk.reshape(C, self.n_head, self.d_head)
+            v = v.reshape(C, self.n_head, self.d_head)
+            carry["k"] = carry["k"].at[:, li, k].set(kk)
+            carry["v"] = carry["v"].at[:, li, k].set(v)
+            ck = carry["k"][:, li]  # [C, L, h, dh]
+            cv = carry["v"][:, li]
+            att = jnp.einsum("chd,clhd->chl", q, ck) / np.sqrt(self.d_head)
+            att = jnp.where(pos_mask, att, -1e30)
+            att = jax.nn.softmax(att, axis=-1)
+            y = jnp.einsum("chl,clhd->chd", att, cv).reshape(C, self.d_model)
+            h = h + _dense(blk["proj"], y)
+            x = _ln(blk["ln2"], h)
+            h = h + _dense(blk["fc2"], jax.nn.gelu(_dense(blk["fc"], x)))
+        h = _ln(params["lnf"], h)
+        logp = jax.nn.log_softmax(_dense(params["head"], h), axis=-1)
+        return logp, carry

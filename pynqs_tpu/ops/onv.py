@@ -36,10 +36,14 @@ __all__ = [
     "prefix_occ",
     "parity",
     "merged_orbital_list",
+    "permute_sgn_matrix",
+    "permute_sgn",
     "popcount_u32",
     "compare_keys_lt",
     "compare_keys_le",
     "hf_bits",
+    "spin_flip_bits",
+    "spin_flip_sign",
 ]
 
 
@@ -149,6 +153,58 @@ def merged_orbital_list(bits: jax.Array, noa: int, nob: int) -> jax.Array:
     beta = channel(bits[..., 1::2], 1)
     merged = jnp.stack([alpha, beta], axis=-1)
     return merged.reshape(bits.shape[:-1] + (sorb,))
+
+
+def permute_sgn_matrix(order) -> np.ndarray:
+    """Static inversion-counting matrix for orbital-reordering signs.
+
+    ``order``: spin-orbital visiting order (len sorb permutation).
+    The fermionic sign of rewriting a determinant whose creation
+    operators are applied in ``order`` into canonical ascending order
+    is (-1)^(number of inversions among *occupied* orbitals):
+
+        sgn = (-1)^{ occ_oᵀ A occ_o },  A[u,t] = (u < t) & (order[u] > order[t])
+
+    with occ_o = bits gathered in ``order``.  Replaces the reference's
+    sequential popcount loop (permute_sgn_cpu, onstate.cpp:195-223)
+    with one MXU quadratic form per sample.
+    """
+    order = np.asarray(order)
+    n = order.shape[0]
+    u = np.arange(n)
+    return ((u[:, None] < u[None, :]) & (order[:, None] > order[None, :])).astype(
+        np.int32
+    )
+
+
+def permute_sgn(bits: jax.Array, A) -> jax.Array:
+    """±1 reordering sign per sample. A from :func:`permute_sgn_matrix`
+    built for the same order used to gather nothing — bits here are in
+    CANONICAL orbital positions; gather with order first:
+    ``permute_sgn(bits[..., order], A)``."""
+    occ = bits.astype(jnp.int32)
+    inv = jnp.einsum("...u,ut,...t->...", occ, jnp.asarray(A), occ)
+    return 1 - 2 * (inv & 1)
+
+
+def spin_flip_bits(bits: jax.Array) -> jax.Array:
+    """α↔β spin flip: swap even/odd positions (reference
+    spin_flip_onv / swap_odd_even_bits_8bit, public_function.py:966+)."""
+    sorb = bits.shape[-1]
+    perm = np.arange(sorb).reshape(-1, 2)[:, ::-1].reshape(-1)
+    return bits[..., perm]
+
+
+def spin_flip_sign(bits: jax.Array) -> jax.Array:
+    """Fermionic sign of the spin-flip permutation applied to |n⟩.
+
+    U_SF reorders creation operators by the pairwise even/odd swap;
+    the sign is the reordering parity (same quadratic-form trick as
+    :func:`permute_sgn`)."""
+    sorb = bits.shape[-1]
+    perm = np.arange(sorb).reshape(-1, 2)[:, ::-1].reshape(-1)
+    A = permute_sgn_matrix(perm)
+    return permute_sgn(bits[..., perm], jnp.asarray(A))
 
 
 def popcount_u32(x: jax.Array) -> jax.Array:

@@ -1,0 +1,256 @@
+"""Exact autoregressive sampling with fixed-capacity tree expansion.
+
+TPU re-design of the reference AR machinery (vmc/ansatz/utils.py:10-85
+`joint_next_samples`, utils/public_function.py:588-623
+`multinomial_tensor`, and the per-ansatz `ar_sampling` loops): instead
+of dynamically growing unique-sample tensors + `repeat_interleave`, a
+**fixed-capacity buffer** of branches is carried through the site loop;
+each step partitions every branch's count multinomially over the next
+site occupations, then compacts the ≤ ncat×C candidate branches back
+to capacity C with `lax.top_k` on counts (dead rows have count 0).
+
+The model contract (see pynqs_tpu.models.base):
+    carry = model.ar_init(params, capacity)
+    logp, carry = model.ar_step(params, carry, k, prev_vals)
+      - k:          static site-block index (0..n_steps-1)
+      - prev_vals:  [C] int32 value chosen at block k-1 (0 at k=0)
+      - logp:       [C, ncat] REAL normalized conditional log-probs
+      - carry:      pytree with leading axis C (gathered on branching)
+
+Sampled counts follow exactly Multinomial(n_sample, |ψ|²) provided the
+model's `log_psi` uses the same masked conditionals (tested in
+tests/test_ar_sampling.py against exact enumeration).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pynqs_tpu.sampler.symmetry import (
+    NEG_INF,
+    apply_mask_logp,
+    mask_one_site,
+    mask_two_site,
+)
+
+__all__ = ["multinomial_partition", "ar_sampling", "ar_sampling_sharded"]
+
+
+def multinomial_partition(key: jax.Array, n: jax.Array, logp: jax.Array):
+    """Partition integer counts n [C] over categories logp [C, ncat].
+
+    Binomial-cascade sampler (same scheme as the reference's
+    multinomial_tensor, public_function.py:588-623): conditional
+    binomials over the remaining mass, vectorized over rows; exact
+    multinomial marginals.  Returns [C, ncat] int32 with row sums == n.
+    """
+    ncat = logp.shape[-1]
+    p = jnp.exp(logp)
+    out = []
+    rem_n = n.astype(jnp.float32)
+    rem_p = jnp.ones_like(p[..., 0])
+    for c in range(ncat - 1):
+        key, kc = jax.random.split(key)
+        cond = jnp.clip(p[..., c] / jnp.maximum(rem_p, 1e-30), 0.0, 1.0)
+        draw = jax.random.binomial(kc, rem_n, cond)
+        draw = jnp.where(rem_n > 0, draw, 0.0)
+        out.append(draw)
+        rem_n = rem_n - draw
+        rem_p = rem_p - p[..., c]
+    out.append(rem_n)
+    return jnp.stack(out, axis=-1).astype(jnp.int32)
+
+
+def _gather_rows(tree, idx):
+    return jax.tree.map(lambda l: jnp.take(l, idx, axis=0), tree)
+
+
+def ar_sampling(
+    model,
+    params,
+    key: jax.Array,
+    n_sample: int,
+    *,
+    capacity: int,
+):
+    """Exact AR sampling. Returns (bits [C, sorb] int8, counts [C] int32).
+
+    counts == 0 marks dead padding rows.  Rows are unique determinants;
+    sum(counts) == n_sample up to capacity-overflow drops (overflow
+    keeps the C highest-count branches; the dropped mass is returned as
+    the third element for diagnostics).
+    """
+    sorb = model.sorb
+    nps = model.sites_per_step  # 1 or 2
+    ncat = 2**nps
+    n_steps = sorb // nps
+    C = capacity
+    noa, nob = model.noa, model.nob
+    # 2-site models may visit spatial orbitals in an arbitrary (graph)
+    # order — reference graph_mpsrnn.py's DAG traversal.  The symmetry
+    # mask depends only on used/remaining counts, so it is order-free.
+    site_order = getattr(model, "site_order", None)
+    if site_order is None:
+        site_order = list(range(n_steps)) if nps == 2 else None
+
+    bits = jnp.zeros((C, sorb), dtype=jnp.int8)
+    counts = jnp.zeros((C,), dtype=jnp.int32).at[0].set(n_sample)
+    used_a = jnp.zeros((C,), dtype=jnp.int32)
+    used_b = jnp.zeros((C,), dtype=jnp.int32)
+    prev = jnp.zeros((C,), dtype=jnp.int32)
+    carry = model.ar_init(params, C)
+
+    state = (bits, counts, used_a, used_b, prev, carry)
+    state = _ar_steps(model, params, key, state, 0, n_steps, site_order)
+    bits, counts = state[0], state[1]
+    dropped = n_sample - counts.sum()
+    return bits, counts, dropped
+
+
+def _ar_steps(model, params, key, state, k_from: int, k_to: int, site_order):
+    """Advance the fixed-capacity AR state over steps [k_from, k_to)."""
+    sorb = model.sorb
+    nps = model.sites_per_step
+    ncat = 2**nps
+    n_steps = sorb // nps
+    noa, nob = model.noa, model.nob
+    bits, counts, used_a, used_b, prev, carry = state
+    C = bits.shape[0]
+
+    for k in range(k_from, k_to):
+        kk = jax.random.fold_in(key, k)
+        logp, carry = model.ar_step(params, carry, k, prev)
+        # ---- symmetry mask ----
+        if nps == 2:
+            rem = n_steps - k - 1
+            mask = mask_two_site(used_a, used_b, noa, nob, rem, rem)
+        else:
+            ch = k % 2  # even spin orbital = alpha
+            # channel sites strictly after site k: channel index is k//2
+            rem = sorb // 2 - k // 2 - 1
+            if ch == 0:
+                mask = mask_one_site(used_a, noa, rem)
+            else:
+                mask = mask_one_site(used_b, nob, rem)
+        logp = apply_mask_logp(logp, mask)
+        # dead rows keep all mass in category 0 (count 0 anyway)
+        sub = multinomial_partition(kk, counts, logp)  # [C, ncat]
+
+        # ---- compact 4C -> C by count (top_k is exact, deterministic) ----
+        flat = sub.reshape(-1)  # [C * ncat]
+        top_counts, top_idx = jax.lax.top_k(flat, C)
+        parent = top_idx // ncat
+        val = (top_idx % ncat).astype(jnp.int32)
+
+        bits = jnp.take(bits, parent, axis=0)
+        used_a = jnp.take(used_a, parent, axis=0)
+        used_b = jnp.take(used_b, parent, axis=0)
+        carry = _gather_rows(carry, parent)
+        counts = top_counts
+
+        if nps == 2:
+            s = int(site_order[k])
+            a_bit = (val & 1).astype(jnp.int8)
+            b_bit = ((val >> 1) & 1).astype(jnp.int8)
+            bits = bits.at[:, 2 * s].set(a_bit)
+            bits = bits.at[:, 2 * s + 1].set(b_bit)
+            used_a = used_a + a_bit
+            used_b = used_b + b_bit
+        else:
+            v = val.astype(jnp.int8)
+            bits = bits.at[:, k].set(v)
+            if k % 2 == 0:
+                used_a = used_a + v
+            else:
+                used_b = used_b + v
+        prev = val
+
+    return bits, counts, used_a, used_b, prev, carry
+
+
+def ar_sampling_sharded(
+    model,
+    params,
+    key: jax.Array,
+    n_sample: int,
+    *,
+    capacity: int,
+    mesh,
+    axis: str = "dp",
+    tree_height: int | None = None,
+):
+    """Tree-sharded exact AR sampling over a device mesh.
+
+    The reference's "use_same_tree" multi-rank sampling
+    (decoder.py:431-515, graph_mpsrnn.py:1311-1415) as SPMD: every
+    device expands the SAME branch tree (identical key) for
+    `tree_height` steps at full `capacity`, then takes its contiguous
+    1/n slice of the branch buffer and finishes the remaining steps
+    locally at capacity/n.  Devices produce disjoint unique
+    determinants by construction — no cross-device merge is needed;
+    the global sample set is the sharded concatenation.
+
+    Returns (bits [capacity, sorb], counts [capacity], dropped) with
+    the leading axis sharded over `axis`.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.shape[axis]
+    if capacity % n_dev:
+        raise ValueError("capacity must divide the mesh axis size")
+    sorb = model.sorb
+    nps = model.sites_per_step
+    n_steps = sorb // nps
+    if tree_height is None:
+        tree_height = max(1, min(n_steps // 2, (capacity // n_dev - 1).bit_length()))
+    tree_height = min(tree_height, n_steps)
+    site_order = getattr(model, "site_order", None)
+    if site_order is None:
+        site_order = list(range(n_steps)) if nps == 2 else None
+    C_local = capacity // n_dev
+
+    def local_fn(params):
+        # ---- phase A: replicated identical tree to tree_height ----
+        bits = jnp.zeros((capacity, sorb), dtype=jnp.int8)
+        counts = jnp.zeros((capacity,), dtype=jnp.int32).at[0].set(n_sample)
+        used_a = jnp.zeros((capacity,), dtype=jnp.int32)
+        used_b = jnp.zeros((capacity,), dtype=jnp.int32)
+        prev = jnp.zeros((capacity,), dtype=jnp.int32)
+        carry = model.ar_init(params, capacity)
+        state = (bits, counts, used_a, used_b, prev, carry)
+        state = _ar_steps(model, params, key, state, 0, tree_height, site_order)
+        bits, counts, used_a, used_b, prev, carry = state
+
+        # ---- slice my shard of branches (sorted by count for balance:
+        # round-robin assignment dev i gets rows i, i+n, i+2n, ...) ----
+        rank = jax.lax.axis_index(axis)
+        rows = rank + n_dev * jnp.arange(C_local)
+        bits_l = jnp.take(bits, rows, axis=0)
+        counts_l = jnp.take(counts, rows, axis=0)
+        used_a_l = jnp.take(used_a, rows, axis=0)
+        used_b_l = jnp.take(used_b, rows, axis=0)
+        prev_l = jnp.take(prev, rows, axis=0)
+        carry_l = _gather_rows(carry, rows)
+
+        # ---- phase B: finish locally with a rank-distinct key ----
+        key_l = jax.random.fold_in(key, 7919 + rank)
+        state_l = (bits_l, counts_l, used_a_l, used_b_l, prev_l, carry_l)
+        state_l = _ar_steps(
+            model, params, key_l, state_l, tree_height, n_steps, site_order
+        )
+        return state_l[0], state_l[1]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=(P(axis), P(axis)),
+        check_rep=False,
+    )
+    bits, counts = fn(params)
+    dropped = n_sample - counts.sum()
+    return bits, counts, dropped

@@ -1,0 +1,128 @@
+"""LUT / dedup ops and the REDUCE / SAMPLE_SPACE eloc strategies."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import oracle
+from pynqs_tpu.energy.eloc import (
+    local_energy_reduce,
+    local_energy_sample_space,
+    local_energy_simple,
+)
+from pynqs_tpu.models.rbm import RBM
+from pynqs_tpu.ops import lut, onv
+from pynqs_tpu.utils import System, fci
+
+
+def test_unique_onv_merges_counts():
+    rng = np.random.default_rng(0)
+    sorb = 12
+    base = fci.fci_bits(sorb, 2, 2)
+    pick = rng.integers(0, base.shape[0], size=64)
+    counts = rng.integers(1, 10, size=64).astype(np.int32)
+    counts[::7] = 0  # dead rows
+    bits = jnp.asarray(base[pick])
+    packed = onv.pack_bits(bits)
+    uniq, merged, n_unique = lut.unique_onv(packed, jnp.asarray(counts))
+    uniq, merged, n_unique = map(np.asarray, (uniq, merged, n_unique))
+
+    # numpy reference
+    live = counts > 0
+    ref = {}
+    for row, c in zip(pick[live], counts[live]):
+        ref[row] = ref.get(row, 0) + int(c)
+    assert int(n_unique) == len(ref)
+    got_keys = uniq[: int(n_unique)]
+    got_counts = merged[: int(n_unique)]
+    ref_packed = np.asarray(onv.pack_bits(jnp.asarray(base)))
+    order = sorted(ref)  # base is ascending packed order already
+    for i, k in enumerate(order):
+        np.testing.assert_array_equal(got_keys[i], ref_packed[k])
+        assert got_counts[i] == ref[k]
+    assert (merged[int(n_unique):] == 0).all()
+
+
+def test_lut_search_vs_searchsorted():
+    sorb = 20
+    space = fci.fci_bits(sorb, 3, 2)
+    packed = np.asarray(onv.pack_bits(jnp.asarray(space)))
+    rng = np.random.default_rng(1)
+    q_in = packed[rng.integers(0, len(packed), 200)]
+    # some misses: random bit patterns
+    q_out = rng.integers(0, 2, size=(50, sorb)).astype(np.int8)
+    q_out_packed = np.asarray(onv.pack_bits(jnp.asarray(q_out)))
+    queries = np.concatenate([q_in, q_out_packed])
+    idx, found = lut.lut_search(jnp.asarray(packed), jnp.asarray(queries))
+    idx, found = np.asarray(idx), np.asarray(found)
+    for i, q in enumerate(queries):
+        hit = np.nonzero((packed == q).all(1))[0]
+        if hit.size:
+            assert found[i] and idx[i] == hit[0]
+        else:
+            assert not found[i]
+
+
+def _small_system():
+    sys = System.hubbard_1d(4, 2, 2, u=4.0)
+    model = RBM(sorb=sys.sorb, alpha=2, param_type="complex")
+    params = model.init(jax.random.PRNGKey(0))
+    space = jnp.asarray(fci.fci_bits(sys.sorb, sys.noa, sys.nob))
+    return sys, model, params, space
+
+
+def test_reduce_eloc_all_deterministic_equals_simple():
+    sys, model, params, space = _small_system()
+    fn = lambda b: model.log_psi(params, b)
+    ops = sys.tables.astuple()
+    e_simple = local_energy_simple(fn, space, ops, sys.excitation)
+    e_red = local_energy_reduce(
+        fn,
+        space,
+        ops,
+        sys.excitation,
+        jax.random.PRNGKey(1),
+        k_det=sys.excitation.n_sd,
+        n_stoch=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_red), np.asarray(e_simple), atol=1e-10
+    )
+
+
+def test_reduce_eloc_unbiased():
+    sys, model, params, space = _small_system()
+    fn = lambda b: model.log_psi(params, b)
+    ops = sys.tables.astuple()
+    bits = space[:6]
+    e_simple = np.asarray(local_energy_simple(fn, bits, ops, sys.excitation))
+
+    @jax.jit
+    def one(key):
+        return local_energy_reduce(
+            fn, bits, ops, sys.excitation, key, k_det=8, n_stoch=16
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 300)
+    es = np.asarray(jax.lax.map(one, keys))  # [300, B, 2]
+    mean = es.mean(0)
+    se = es.std(0) / np.sqrt(len(keys))
+    assert (np.abs(mean - e_simple) < 5 * se + 1e-6).all(), (
+        mean - e_simple,
+        se,
+    )
+
+
+def test_sample_space_eloc_on_full_space_equals_simple():
+    sys, model, params, space = _small_system()
+    fn = lambda b: model.log_psi(params, b)
+    ops = sys.tables.astuple()
+    e_simple = local_energy_simple(fn, space, ops, sys.excitation)
+    lp = model.log_psi(params, space)
+    table_lut = lut.WavefunctionLUT.build(space, lp)
+    e_ss = local_energy_sample_space(
+        space, lp, table_lut, ops, sys.excitation
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_ss), np.asarray(e_simple), atol=1e-10
+    )

@@ -1,0 +1,68 @@
+"""Multi-device (8 CPU) SPMD: sharded VMC step + tree-sharded AR sampling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from pynqs_tpu.models.rbm import RBM
+from pynqs_tpu.models.rnn import RNNWavefunction
+from pynqs_tpu.optim.vmc import VMC, VMCConfig
+from pynqs_tpu.parallel.mesh import make_mesh
+from pynqs_tpu.sampler import MCMCSampler
+from pynqs_tpu.sampler.ar import ar_sampling, ar_sampling_sharded
+from pynqs_tpu.utils import System, fci
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(8)
+
+
+def test_dp_vmc_step_runs_sharded(mesh):
+    sys = System.hubbard_1d(3, 2, 1, u=4.0)
+    model = RBM(sorb=sys.sorb, alpha=2, param_type="complex")
+    sampler = MCMCSampler(sys.sorb, sys.noa, sys.nob, n_chain=64, n_sweep=4)
+    vmc = VMC(model, sys, sampler, VMCConfig(n_iter=3, lr=1e-2, log_every=10**6), mesh=mesh)
+    with mesh:
+        _, hist = vmc.run(jax.random.PRNGKey(0), n_iter=3)
+    assert np.isfinite(hist).all()
+
+
+def test_sharded_ar_sampling_disjoint_and_unbiased(mesh):
+    sorb, noa, nob = 8, 2, 2
+    model = RNNWavefunction(sorb, noa, nob, hidden=16, phase_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    space = fci.fci_bits(sorb, noa, nob)
+    lp = model.log_psi(params, jnp.asarray(space))
+    p = np.exp(2 * np.asarray(lp[..., 0]))
+
+    n_sample = 400_000
+    with mesh:
+        bits, counts, dropped = ar_sampling_sharded(
+            model, params, jax.random.PRNGKey(3), n_sample,
+            capacity=512, mesh=mesh, tree_height=3,
+        )
+    bits = np.asarray(bits)
+    counts = np.asarray(counts)
+    assert int(dropped) >= 0
+    kept = counts.sum()
+    # per-shard capacity 64 ≥ 36 dets: essentially no drop expected
+    assert kept > 0.99 * n_sample
+
+    # disjoint unique rows across the whole (sharded) buffer
+    live = counts > 0
+    rows = [tuple(r.tolist()) for r in bits[live]]
+    assert len(rows) == len(set(rows)), "duplicate determinants across shards"
+
+    # distribution matches |psi|^2
+    freq = {}
+    for r, c in zip(rows, counts[live]):
+        freq[r] = freq.get(r, 0) + c / kept
+    tv = sum(
+        abs(freq.get(tuple(r.tolist()), 0.0) - pi)
+        for r, pi in zip(space, p)
+    )
+    assert tv < 0.02, f"total variation {tv}"

@@ -1,0 +1,142 @@
+"""End-to-end VMC slice: RBM + exact/MCMC sampling + SIMPLE eloc + Adam.
+
+Oracles (SURVEY.md §4): the independent second-quantization oracle's
+dense-H FCI energy, and the identity E_loc(n) == E_fci for the exact
+ground-state wavefunction.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from pynqs_tpu.energy.eloc import local_energy_simple
+from pynqs_tpu.models.rbm import RBM
+from pynqs_tpu.optim.vmc import VMC, VMCConfig
+from pynqs_tpu.sampler import ExactSampler, MCMCSampler
+from pynqs_tpu.utils import System, fci
+
+
+def _hubbard_system(nsites=4, noa=2, nob=2, u=4.0):
+    sys = System.hubbard_1d(nsites, noa, nob, u=u)
+    dets = oracle.fci_space(sys.sorb, noa, nob)
+    h2e_dense = np.asarray(
+        __import__("pynqs_tpu.ops.integrals", fromlist=["x"]).decompress_h2e(
+            sys.h2e, sys.sorb
+        )
+    )
+    H = oracle.dense_h(dets, sys.h1e, h2e_dense)
+    w, v = np.linalg.eigh(H)
+    return sys, H, w[0], v[:, 0]
+
+
+class _TableModel:
+    """Exact wavefunction as a lookup ansatz (test-only)."""
+
+    def __init__(self, sorb, space_bits, vec):
+        self.sorb = sorb
+        self._space = jnp.asarray(space_bits, dtype=jnp.int8)
+        self._vec = jnp.asarray(vec)
+
+    def init(self, key):
+        return {}
+
+    def log_psi(self, params, bits):
+        # match each bit-row against the FCI space (small spaces only)
+        eq = (bits[:, None, :] == self._space[None, :, :]).all(-1)
+        amp = (eq * self._vec[None, :]).sum(-1)
+        la = jnp.log(jnp.maximum(jnp.abs(amp), 1e-300))
+        ph = jnp.where(amp < 0, jnp.pi, 0.0)
+        return jnp.stack([la, ph], -1)
+
+
+def test_eloc_of_exact_ground_state_is_eigenvalue():
+    sys, H, e0, v0 = _hubbard_system()
+    space = fci.fci_bits(sys.sorb, sys.noa, sys.nob)
+    # avoid log(negative/zero) issues: ground state of Hubbard has
+    # nonzero amplitudes of both signs -> complex log handles it; just
+    # avoid exact zeros by a tiny perturbation-free check on |amp|>1e-12
+    keep = np.abs(v0) > 1e-10
+    model = _TableModel(sys.sorb, space, v0)
+    bits = jnp.asarray(space[keep])
+    eloc = local_energy_simple(
+        lambda b: model.log_psi({}, b),
+        bits,
+        sys.tables.astuple(),
+        sys.excitation,
+    )
+    np.testing.assert_allclose(np.asarray(eloc[:, 0]), e0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(eloc[:, 1]), 0.0, atol=1e-8)
+
+
+def test_vmc_exact_optimization_reaches_fci():
+    import optax
+
+    sys, H, e0, _ = _hubbard_system()
+    model = RBM(sorb=sys.sorb, alpha=4, param_type="complex", init_scale=0.1)
+    sampler = ExactSampler(sys.sorb, sys.noa, sys.nob)
+    vmc = VMC(
+        model,
+        sys,
+        sampler,
+        VMCConfig(
+            n_iter=300, use_sr=True, sr_damping=1e-3,
+            optimizer=optax.sgd(5e-2), log_every=10**6,
+        ),
+    )
+    _, hist = vmc.run(jax.random.PRNGKey(0))
+    err_mha = abs(hist[-1] - e0) * 1000
+    assert err_mha < 0.1, f"VMC exact-opt error {err_mha:.3f} mHa vs FCI {e0:.6f}"
+
+
+def test_mcmc_sampler_unbiased_at_converged_params():
+    """The Metropolis measure must reproduce ⟨ψ|H|ψ⟩ at fixed ψ."""
+    import optax
+    from functools import partial
+    from pynqs_tpu.energy.eloc import local_energy_simple
+
+    sys, H, e0, _ = _hubbard_system()
+    model = RBM(sorb=sys.sorb, alpha=4, param_type="complex", init_scale=0.1)
+    vmc = VMC(
+        model, sys, ExactSampler(sys.sorb, sys.noa, sys.nob),
+        VMCConfig(
+            n_iter=200, use_sr=True, sr_damping=1e-3,
+            optimizer=optax.sgd(5e-2), log_every=10**6,
+        ),
+    )
+    params, hist = vmc.run(jax.random.PRNGKey(0))
+    assert abs(hist[-1] - e0) * 1000 < 0.1
+
+    sampler = MCMCSampler(sys.sorb, sys.noa, sys.nob, n_chain=512, n_sweep=50)
+    st = sampler.init_state(jax.random.PRNGKey(5))
+    bits, lp, acc = sampler.run(model, params, jax.random.PRNGKey(6), st, 200)
+    eloc = local_energy_simple(
+        partial(model.log_psi, params), bits, sys.tables.astuple(),
+        sys.excitation,
+    )
+    e_mcmc = float(np.asarray(eloc[:, 0]).mean())
+    assert 0.05 < float(acc) < 0.9, f"acceptance {float(acc)}"
+    assert abs(e_mcmc - e0) * 1000 < 1.0, f"MCMC bias {e_mcmc} vs {e0}"
+
+
+def test_vmc_mcmc_optimization_close_to_fci():
+    import optax
+
+    sys, H, e0, _ = _hubbard_system()
+    model = RBM(sorb=sys.sorb, alpha=2, param_type="complex", init_scale=0.1)
+    sampler = MCMCSampler(
+        sys.sorb, sys.noa, sys.nob, n_chain=1024, n_sweep=24, therm=0
+    )
+    vmc = VMC(
+        model,
+        sys,
+        sampler,
+        VMCConfig(
+            n_iter=400, use_sr=True, sr_damping=2e-2,
+            optimizer=optax.sgd(5e-2), log_every=10**6,
+        ),
+    )
+    _, hist = vmc.run(jax.random.PRNGKey(1))
+    err_mha = abs(np.mean(hist[-20:]) - e0) * 1000
+    assert err_mha < 25.0, f"VMC MCMC error {err_mha:.3f} mHa vs FCI {e0:.6f}"
