@@ -37,6 +37,12 @@ class VMCConfig:
     checkpoint_path: str | None = None
     checkpoint_interval: int = 100
     log_path: str | None = None
+    # adaptive sample-count ramp (reference sampler_param
+    # start_n_sample/start_iter, vmc/sample.py:571-625,980-992): run
+    # with start_n_sample until ramp_iter, then switch to the sampler's
+    # full n_sample (one extra compile at the switch).
+    start_n_sample: int | None = None
+    ramp_iter: int = 0
 
 
 class VMC:
@@ -73,10 +79,13 @@ class VMC:
         else:
             self._batch_sharding = None
 
+        self._step = self._build_step(self.sampler)
+
+    def _build_step(self, sampler):
         @jax.jit
         def step(params, opt_state, key, chain_state):
             k_s, _ = jax.random.split(key)
-            bits, w, _lp, chain_state = self.sampler.sample(
+            bits, w, _lp, chain_state = sampler.sample(
                 self.model, params, k_s, chain_state
             )
             if self._batch_sharding is not None:
@@ -111,7 +120,48 @@ class VMC:
             params = optax.apply_updates(params, updates)
             return params, opt_state, chain_state, e_re, var
 
-        self._step = step
+        return step
+
+    def operator_expected(self, params, operator_tables, key, sampler=None):
+        """⟨O⟩ ± se for an operator given as (dense h1e, compressed h2e)
+        — e.g. utils spin_raising for ⟨S⁻S⁺⟩ (reference
+        vmc/optim/optimizer.py:245-297 swaps h1e/h2e into eloc).
+        """
+        import numpy as np
+
+        from pynqs_tpu.ops.integrals import precompute_hij_tables
+        from pynqs_tpu.utils.stats import operator_stats
+
+        h1e_o, h2e_o = operator_tables
+        t = precompute_hij_tables(
+            np.asarray(h1e_o), np.asarray(h2e_o), self.system.sorb,
+            self.system.dtype,
+        )
+        ops = tuple(jnp.asarray(x) for x in (t.h1e, t.h2e, t.diag1, t.K, t.J))
+        sampler = sampler or self.sampler
+        chain = sampler.init_state(key)
+        bits, w, _lp, _ = sampler.sample(self.model, params, key, chain)
+        oloc = local_energy_simple(
+            partial(self.model.log_psi, params), bits, ops, self._table,
+            batch=self.cfg.eloc_batch,
+        )
+        return operator_stats(oloc[:, 0], w)
+
+    def noise_tune(self, params, key, scale=0.1):
+        """NoisyTune parameter perturbation (reference
+        vmc/optim/optimizer.py:299-322): add uniform noise scaled by
+        each tensor's std."""
+
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(key, len(leaves))
+        out = [
+            l
+            + (jax.random.uniform(k, l.shape, l.dtype) - 0.5)
+            * jnp.std(l)
+            * scale
+            for l, k in zip(leaves, keys)
+        ]
+        return jax.tree.unflatten(treedef, out)
 
     def run(
         self,
@@ -135,10 +185,27 @@ class VMC:
         from pynqs_tpu.utils.logging import RunLogger
 
         log = RunLogger(self.cfg.log_path)
+
+        # sample-count ramp: smaller n_sample for the warm-up phase
+        step_fn = self._step
+        ramp_fn = None
+        if (
+            self.cfg.start_n_sample is not None
+            and self.cfg.ramp_iter > 0
+            and hasattr(self.sampler, "n_sample")
+        ):
+            import dataclasses
+
+            small = dataclasses.replace(
+                self.sampler, n_sample=self.cfg.start_n_sample
+            )
+            ramp_fn = self._build_step(small)
+
         for it in range(n_iter):
+            use = ramp_fn if (ramp_fn is not None and it < self.cfg.ramp_iter) else step_fn
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
-            params, opt_state, chain_state, e, var = self._step(
+            params, opt_state, chain_state, e, var = use(
                 params, opt_state, k, chain_state
             )
             e_tot = float(e) + ecore

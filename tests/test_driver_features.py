@@ -1,0 +1,115 @@
+"""VMC driver extras: operator expectation, noise, ramp, logging,
+checkpointing, plotting, memory helpers."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import oracle
+from pynqs_tpu.models.rnn import RNNWavefunction
+from pynqs_tpu.optim.vmc import VMC, VMCConfig
+from pynqs_tpu.sampler import ARSampler, ExactSampler
+from pynqs_tpu.ops.integrals import decompress_h2e, spin_raising
+from pynqs_tpu.utils import System, fci
+
+
+def _setup():
+    sys = System.hubbard_1d(3, 2, 1, u=4.0)
+    model = RNNWavefunction(sys.sorb, sys.noa, sys.nob, hidden=8, phase_hidden=8)
+    return sys, model
+
+
+def test_operator_expected_spin_raising():
+    """⟨S⁻S⁺⟩ from sampling == dense-operator expectation on |ψ|."""
+    sys, model = _setup()
+    params = model.init(jax.random.PRNGKey(0))
+    sampler = ExactSampler(sys.sorb, sys.noa, sys.nob)
+    vmc = VMC(model, sys, sampler, VMCConfig(n_iter=1, log_every=10**6))
+    h1e_o, h2e_o = spin_raising(sys.sorb)
+    stats = vmc.operator_expected(params, (h1e_o, h2e_o), jax.random.PRNGKey(1))
+
+    # dense oracle: build S-S+ matrix over the FCI space
+    dets = oracle.fci_space(sys.sorb, sys.noa, sys.nob)
+    O = oracle.dense_h(dets, h1e_o, decompress_h2e(h2e_o, sys.sorb))
+    space = fci.fci_bits(sys.sorb, sys.noa, sys.nob)
+    lp = model.log_psi(params, jnp.asarray(space))
+    from pynqs_tpu.ops import cplx
+
+    psi = np.exp(cplx.to_np_complex(lp))
+    psi /= np.linalg.norm(psi)
+    expect = float(np.real(psi.conj() @ O @ psi))
+    assert abs(stats.mean.real - expect) < 1e-8, (stats.mean, expect)
+    assert expect > -1e-12  # S-S+ is PSD
+
+
+def test_noise_tune_changes_params():
+    sys, model = _setup()
+    params = model.init(jax.random.PRNGKey(0))
+    vmc = VMC(model, sys, ExactSampler(sys.sorb, sys.noa, sys.nob))
+    noisy = vmc.noise_tune(params, jax.random.PRNGKey(2), scale=0.2)
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, noisy),
+    )
+    assert diff > 0
+
+
+def test_n_sample_ramp_runs():
+    sys, model = _setup()
+    sampler = ARSampler(sys.sorb, sys.noa, sys.nob, n_sample=4096, capacity=16)
+    vmc = VMC(
+        model, sys, sampler,
+        VMCConfig(
+            n_iter=6, lr=1e-2, start_n_sample=256, ramp_iter=3,
+            log_every=10**6,
+        ),
+    )
+    _, hist = vmc.run(jax.random.PRNGKey(0))
+    assert len(hist) == 6 and np.isfinite(hist).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pynqs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    sys, model = _setup()
+    params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, 7, params, {"count": jnp.zeros(3)}, [1.0, 2.0])
+    back = load_checkpoint(path)
+    assert back["step"] == 7
+    assert list(back["history"]) == [1.0, 2.0]
+    np.testing.assert_allclose(
+        np.asarray(back["params"]["gru"]["z"]["w"]),
+        np.asarray(params["gru"]["z"]["w"]),
+    )
+
+
+def test_logging_roundtrip(tmp_path):
+    from pynqs_tpu.utils.logging import RunLogger, read_log
+
+    p = str(tmp_path / "run.log")
+    log = RunLogger(p)
+    log.info("hello")
+    log.record(iter=0, energy=-1.5)
+    log.record(iter=1, energy=-1.6)
+    log.close()
+    recs = read_log(p)
+    assert len(recs) == 2 and recs[1]["energy"] == -1.6
+
+
+def test_plotting(tmp_path):
+    from pynqs_tpu.utils.plotting import plot_energy_history
+
+    h = -2.0 + np.exp(-np.arange(300) / 50.0)
+    out = plot_energy_history(h, e_ref=-2.0, path=str(tmp_path / "e.png"))
+    assert os.path.exists(out)
+
+
+def test_auto_eloc_batch():
+    from pynqs_tpu.utils.memory import auto_eloc_batch
+
+    b = auto_eloc_batch(4096, 7875, 40, budget_bytes=1 << 30)
+    assert 1 <= b <= 4096
+    assert (b & (b - 1)) == 0  # power of two
