@@ -115,6 +115,17 @@ class GraphMPSRNN:
     graph: tuple = None  # (order, preds) from chain_graph/graph_from_edges
     dtype: jnp.dtype = jnp.float64
     sites_per_step: int = 2
+    # "linear": per-value real linear phase readout (our default).
+    # "arg": φ_i = arg(w·h_i + c) with complex w, c — the reference
+    #        MPS-RNN convention (graph_mpsrnn.py:1095-1106), required
+    #        for faithful DMRG warm-start imports.
+    phase_mode: str = "linear"
+    # "unit": selected hidden renormalized to unit norm (our default).
+    # "mpsrnn": h_ud scaled by 1/sqrt(mean_{x,d}|h_ud|²) — the
+    #           reference's gauge (_calculate_prob, :849-870); only
+    #           phases depend on this choice (amplitudes are
+    #           normalization-invariant).
+    norm_mode: str = "unit"
     # static tables, filled in __post_init__
     _order: tuple = field(default=None, repr=False)
     _pred: np.ndarray = field(default=None, repr=False)
@@ -165,16 +176,25 @@ class GraphMPSRNN:
 
         # near-identity init keeps early hidden states well-conditioned
         eye = jnp.broadcast_to(jnp.eye(d, dtype=self.dtype), shapeM)
-        return {
+        p = {
             "M_re": eye / max(1, mp) + nrm(k[0], shapeM, 0.1 * s),
             "M_im": nrm(k[1], shapeM, 0.1 * s),
             "v_re": nrm(k[2], (norb, 4, d), 0.1),
             "v_im": nrm(k[3], (norb, 4, d), 0.1),
-            "w_ph": nrm(k[4], (norb, 4, 2 * d), 1.0 / np.sqrt(2 * d)),
-            "c_ph": jnp.zeros((norb, 4), self.dtype),
             "eta": jnp.ones((norb, 4, d), self.dtype),  # learned P metric
             "global_phase": jnp.zeros((), self.dtype),
         }
+        if self.phase_mode == "linear":
+            p["w_ph"] = nrm(k[4], (norb, 4, 2 * d), 1.0 / np.sqrt(2 * d))
+            p["c_ph"] = jnp.zeros((norb, 4), self.dtype)
+        elif self.phase_mode == "arg":
+            p["w_arg_re"] = nrm(k[4], (norb, d), 1.0 / np.sqrt(d))
+            p["w_arg_im"] = nrm(k[5], (norb, d), 1.0 / np.sqrt(d))
+            p["c_arg_re"] = jnp.ones((norb,), self.dtype)
+            p["c_arg_im"] = jnp.zeros((norb,), self.dtype)
+        else:
+            raise ValueError(f"unknown phase_mode {self.phase_mode!r}")
+        return p
 
     # ---------------- core site update ----------------
 
@@ -204,10 +224,35 @@ class GraphMPSRNN:
 
     def _phase_site(self, params, t: int, x, h_re, h_im):
         """Per-site phase readout for chosen value x: [B]."""
+        if self.phase_mode == "arg":
+            wr = params["w_arg_re"][t]  # [d]
+            wi = params["w_arg_im"][t]
+            z_re = h_re @ wr - h_im @ wi + params["c_arg_re"][t]
+            z_im = h_im @ wr + h_re @ wi + params["c_arg_im"][t]
+            return jnp.arctan2(z_im, z_re)
         hcat = jnp.concatenate([h_re, h_im], -1)  # [B, 2d]
         wv = params["w_ph"][t][x]  # [B, 2d]
         cv = params["c_ph"][t][x]  # [B]
         return (wv * hcat).sum(-1) + cv
+
+    def _select_h(self, ht_re, ht_im, x):
+        """Choose value x's hidden and apply the normalization gauge."""
+        sel_re = jnp.take_along_axis(ht_re, x[:, None, None], 1)[:, 0]
+        sel_im = jnp.take_along_axis(ht_im, x[:, None, None], 1)[:, 0]
+        if self.norm_mode == "mpsrnn":
+            nrm = jax.lax.rsqrt(
+                jnp.maximum(
+                    (ht_re**2 + ht_im**2).mean((-2, -1), keepdims=False),
+                    1e-300,
+                )
+            )[:, None]
+        else:
+            nrm = jax.lax.rsqrt(
+                jnp.maximum(
+                    (sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-300
+                )
+            )
+        return sel_re * nrm, sel_im * nrm
 
     # ---------------- forward ----------------
 
@@ -242,12 +287,7 @@ class GraphMPSRNN:
             log_amp = log_amp + 0.5 * jnp.take_along_axis(
                 logp, x[:, None], -1
             )[:, 0]
-            sel_re = jnp.take_along_axis(ht_re, x[:, None, None], 1)[:, 0]
-            sel_im = jnp.take_along_axis(ht_im, x[:, None, None], 1)[:, 0]
-            nrm = jax.lax.rsqrt(
-                jnp.maximum((sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-300)
-            )
-            sel_re, sel_im = sel_re * nrm, sel_im * nrm
+            sel_re, sel_im = self._select_h(ht_re, ht_im, x)
             h_re = h_re.at[:, s].set(sel_re)
             h_im = h_im.at[:, s].set(sel_im)
             phase = phase + self._phase_site(params, t, x, sel_re, sel_im)
@@ -273,16 +313,10 @@ class GraphMPSRNN:
             ht_re, ht_im, _ = self._site_update(
                 params, t_prev, carry["h_re"], carry["h_im"]
             )
-            sel_re = jnp.take_along_axis(ht_re, prev[:, None, None], 1)[:, 0]
-            sel_im = jnp.take_along_axis(ht_im, prev[:, None, None], 1)[:, 0]
-            nrm = jax.lax.rsqrt(
-                jnp.maximum(
-                    (sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-300
-                )
-            )
+            sel_re, sel_im = self._select_h(ht_re, ht_im, prev)
             carry = {
-                "h_re": carry["h_re"].at[:, s_prev].set(sel_re * nrm),
-                "h_im": carry["h_im"].at[:, s_prev].set(sel_im * nrm),
+                "h_re": carry["h_re"].at[:, s_prev].set(sel_re),
+                "h_im": carry["h_im"].at[:, s_prev].set(sel_im),
                 "step_cache": None,
             }
         _, _, logw = self._site_update(params, k, carry["h_re"], carry["h_im"])

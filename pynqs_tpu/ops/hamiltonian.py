@@ -97,6 +97,12 @@ def comb_hij(
     prefix = onv.prefix_occ(bits)  # [B, sorb] int32
     merged = onv.merged_orbital_list(bits, table.noa, table.nob)  # [B, sorb]
     orbs = jnp.take(merged, pos, axis=-1)  # [B, n_sd, 4]
+    # prefix counts re-indexed in merged-list order: ALL sign-count
+    # lookups then use STATIC slot indices (pos), avoiding the
+    # per-element dynamic take_along_axis gathers that dominate on TPU
+    # (43 ms each at [512, 7725] vs ~3 ms for a static-index take).
+    pm = jnp.take_along_axis(prefix, merged, axis=-1)  # [B, sorb]
+    cnts = jnp.take(pm, pos, axis=-1)  # [B, n_sd, 4] prefix @ (i, a, j, b)
 
     # ---- diagonal ----
     hii = hij_diagonal(bits, diag1, K)  # [B]
@@ -108,9 +114,8 @@ def comb_hij(
     i_s = orb_s[..., 0]
     a_s = orb_s[..., 1]
     val_s = jnp.take_along_axis(s_full, i_s * sorb + a_s, axis=-1)  # [B, ns]
-    cnt_i = jnp.take_along_axis(prefix, i_s, axis=-1)
-    cnt_a = jnp.take_along_axis(prefix, a_s, axis=-1) - (i_s < a_s)
-    sgn_s = _parity_from_count(cnt_i + cnt_a).astype(dtype)
+    cnt_ia = cnts[:, :ns, 0] + cnts[:, :ns, 1] - (i_s < a_s)
+    sgn_s = _parity_from_count(cnt_ia).astype(dtype)
     hij_s = val_s * sgn_s
 
     # ---- doubles: flat gather + prefix-corrected signs ----
@@ -121,21 +126,18 @@ def comb_hij(
     q0 = jnp.maximum(a_d, b_d)
     q1 = jnp.minimum(a_d, b_d)
     val_d = jnp.take(h2e, _tri_index(p0, p1, q0, q1))  # [B, nd]
-    cnt_p0 = jnp.take_along_axis(prefix, p0, axis=-1)
-    cnt_p1 = jnp.take_along_axis(prefix, p1, axis=-1)
-    cnt_q0 = (
-        jnp.take_along_axis(prefix, q0, axis=-1)
-        - (p0 < q0)
+    # base parity counts: prefix at the four orbitals — order-free sum,
+    # so the static-slot counts work for the (max, min) relabeling
+    base = cnts[:, ns:, :].sum(-1)
+    corr = (
+        -(p0 < q0).astype(jnp.int32)
         - (p1 < q0)
         + (q1 < q0)
-    )
-    cnt_q1 = (
-        jnp.take_along_axis(prefix, q1, axis=-1)
         - (p0 < q1)
         - (p1 < q1)
         + (q0 < q1)
     )
-    sgn_d = _parity_from_count(cnt_p0 + cnt_p1 + cnt_q0 + cnt_q1).astype(dtype)
+    sgn_d = _parity_from_count(base + corr).astype(dtype)
     hij_d = val_d * sgn_d
 
     hij = jnp.concatenate([hii[:, None], hij_s, hij_d], axis=-1)

@@ -1,0 +1,97 @@
+"""DMRG → Graph-MPS-RNN warm start.
+
+Loads the reference's converted FOCUS MPS parameter files (the output
+of `Fmps2mpsrnn`, utils/mps_helper/focus_helper.py:11-73, stored as a
+torch state dict with keys ``module.params_M.all_sites`` (list of
+per-edge complex tensors [4, Dout, Din, 2], last entry = the boundary
+M applied to the all-ones left boundary), ``module.params_w.all_sites``
+[norb, dcut, 2] and ``module.params_c.all_sites`` [norb, 2]) into a
+:class:`pynqs_tpu.models.graph_mps_rnn.GraphMPSRNN` parameter pytree.
+
+The target model must use the reference conventions:
+``phase_mode="arg"``, ``norm_mode="mpsrnn"``, chain graph in the same
+site order the MPS was converted with (identity for the Fe2S2
+example).  Bond dimensions smaller than dcut are zero-padded
+(top-left block), exactly like the reference's fill_M
+(graph_mpsrnn.py:528-554).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["load_focus_mpsrnn"]
+
+
+def _strip(key_dict):
+    out = {}
+    for k, v in key_dict.items():
+        out[k.replace("module.", "").replace("sample.", "")] = v
+    return out
+
+
+def load_focus_mpsrnn(path: str, model):
+    """Build model params warm-started from a converted FOCUS MPS file.
+
+    ``model``: a GraphMPSRNN with chain graph, phase_mode="arg",
+    norm_mode="mpsrnn".  Returns a params pytree (float; complex data
+    split into re/im).
+    """
+    import torch
+    import jax
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if "model" in sd:
+        sd = sd["model"]
+    sd = _strip(sd)
+    M_list = sd["params_M.all_sites"]
+    w = np.asarray(sd["params_w.all_sites"])  # [norb, dcut_f, 2]
+    c = np.asarray(sd["params_c.all_sites"])  # [norb, 2]
+
+    norb, d = model.norb, model.dcut
+    if model.maxp != 1:
+        raise ValueError("FOCUS import requires a chain graph (maxp == 1)")
+    if len(M_list) != norb:
+        raise ValueError(
+            f"file has {len(M_list)} site tensors, model has {norb} sites"
+        )
+
+    params = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), model.init(jax.random.PRNGKey(0)))
+    M_re = np.zeros((norb, 1, 4, d, d))
+    M_im = np.zeros((norb, 1, 4, d, d))
+    v_re = np.zeros((norb, 4, d))
+    v_im = np.zeros((norb, 4, d))
+
+    # boundary: last entry, applied to the all-ones boundary vector;
+    # Din columns beyond the file's are zero, so M @ 1 = row-sum.
+    Mb = np.asarray(M_list[-1])  # [4, Dout, Din, 2]
+    bound = Mb.sum(axis=2)  # [4, Dout, 2]
+    v_re[0, :, : bound.shape[1]] = bound[..., 0]
+    v_im[0, :, : bound.shape[1]] = bound[..., 1]
+
+    for t in range(1, norb):
+        Mt = np.asarray(M_list[t - 1])  # [4, Dout, Din, 2]
+        do, di = Mt.shape[1], Mt.shape[2]
+        M_re[t, 0, :, :do, :di] = Mt[..., 0]
+        M_im[t, 0, :, :do, :di] = Mt[..., 1]
+
+    dcut_f = w.shape[1]
+    w_re = np.zeros((norb, d))
+    w_im = np.zeros((norb, d))
+    w_re[:, :dcut_f] = w[..., 0]
+    w_im[:, :dcut_f] = w[..., 1]
+
+    params["M_re"] = jnp.asarray(M_re, model.dtype)
+    params["M_im"] = jnp.asarray(M_im, model.dtype)
+    params["v_re"] = jnp.asarray(v_re, model.dtype)
+    params["v_im"] = jnp.asarray(v_im, model.dtype)
+    params["w_arg_re"] = jnp.asarray(w_re, model.dtype)
+    params["w_arg_im"] = jnp.asarray(w_im, model.dtype)
+    params["c_arg_re"] = jnp.asarray(c[:, 0], model.dtype)
+    params["c_arg_im"] = jnp.asarray(c[:, 1], model.dtype)
+    # uniform metric (reference eta = 1/sqrt(2) constant): any constant
+    # is amplitude-equivalent; softplus(1)=1.31 uniform works
+    params["eta"] = jnp.ones((norb, 4, d), model.dtype)
+    params["global_phase"] = jnp.zeros((), model.dtype)
+    return params
