@@ -108,6 +108,10 @@ class DecoderWavefunction:
 
     def _logits_full(self, params, tokens: jax.Array) -> jax.Array:
         """tokens [B, L] in 0..4 (first is start=4). Returns [B, L, 4]."""
+        return _dense(params["head"], self._hidden_full(params, tokens))
+
+    def _hidden_full(self, params, tokens: jax.Array) -> jax.Array:
+        """Final-layernorm hidden states [B, L, d_model] (teacher-forced)."""
         B, L = tokens.shape
         h = params["wte"][tokens] + params["wpe"][None, :L]
         causal = jnp.tril(jnp.ones((L, L), bool))
@@ -127,8 +131,7 @@ class DecoderWavefunction:
             h = h + _dense(blk["proj"], y)
             x = _ln(blk["ln2"], h)
             h = h + _dense(blk["fc2"], jax.nn.gelu(_dense(blk["fc"], x)))
-        h = _ln(params["lnf"], h)
-        return _dense(params["head"], h)
+        return _ln(params["lnf"], h)
 
     def _cond_logp(self, params, bits: jax.Array) -> jax.Array:
         """Masked normalized conditional log-probs [B, n_blocks, 4]."""
@@ -187,6 +190,12 @@ class DecoderWavefunction:
         }
 
     def ar_step(self, params, carry, k: int, prev: jax.Array):
+        h, carry = self._hidden_step(params, carry, k, prev)
+        logp = jax.nn.log_softmax(_dense(params["head"], h), axis=-1)
+        return logp, carry
+
+    def _hidden_step(self, params, carry, k: int, prev: jax.Array):
+        """One cached decoding step: hidden [C, d_model] + updated cache."""
         C = prev.shape[0]
         tok = jnp.full((C,), 4, jnp.int32) if k == 0 else prev
         h = params["wte"][tok] + params["wpe"][k]  # [C, d]
@@ -210,5 +219,4 @@ class DecoderWavefunction:
             x = _ln(blk["ln2"], h)
             h = h + _dense(blk["fc2"], jax.nn.gelu(_dense(blk["fc"], x)))
         h = _ln(params["lnf"], h)
-        logp = jax.nn.log_softmax(_dense(params["head"], h), axis=-1)
-        return logp, carry
+        return h, carry

@@ -21,8 +21,21 @@ def fci_bits(sorb: int, noa: int, nob: int) -> np.ndarray:
     Even bits = alpha, odd = beta.  Ordered ascending by the packed
     little-endian integer value, matching the reference's sorted ONV
     order (so LUT binary search works on either representation).
+
+    Uses the native C++ enumerator (pynqs_tpu.native) when the space
+    is big enough to matter and a toolchain is available.
     """
     norb = sorb // 2
+    from math import comb
+
+    if comb(norb, noa) * comb(norb, nob) > 4096 and norb <= 64:
+        try:
+            from pynqs_tpu import native
+
+            if native.available():
+                return native.fci_space_bits(sorb, noa, nob)
+        except Exception:
+            pass
     dets = []
     for occ_a in combinations(range(norb), noa):
         da = sum(1 << (2 * i) for i in occ_a)
