@@ -49,17 +49,22 @@ def main():
 
     model = RBM(sorb=sys.sorb, alpha=2, param_type="complex", dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0))
-    ops = tuple(jnp.asarray(np.asarray(t), jnp.float32) for t in sys.tables.astuple())
+    t = sys.tables
+    ops = tuple(jnp.asarray(np.asarray(x), jnp.float32) for x in t.astuple())
+    hpair = (
+        None if t.hpair is None else jnp.asarray(np.asarray(t.hpair), jnp.float32)
+    )
     table = sys.excitation
 
-    B = 512
+    B = 2048
     hf = jnp.asarray(onv.hf_bits(sys.sorb, sys.noa, sys.nob))
     bits = jnp.broadcast_to(hf, (B, sys.sorb)).astype(jnp.int8)
 
     @jax.jit
     def eloc_fn(params, bits):
         return local_energy_simple(
-            partial(model.log_psi, params), bits, ops, table, batch=128
+            partial(model.log_psi, params), bits, ops, table, batch=512,
+            hpair=hpair,
         )
 
     # warm-up / compile

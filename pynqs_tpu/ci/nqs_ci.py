@@ -55,6 +55,7 @@ class NqsCi:
         self.cfg = config or NqsCiConfig()
         self.tx = optax.adam(self.cfg.lr)
         ops = system.tables.astuple()
+        hpair = system.tables.hpair
         table = system.excitation
         self._ops = ops
         self._table = table
@@ -71,7 +72,7 @@ class NqsCi:
         # static: dense CI block + CI connected spaces
         self._h_cc = jnp.real(hij_dense(d_bits, d_bits, *ops))  # [m, m]
         comb, hij_ci = comb_hij(
-            d_bits, *ops, table=table, with_comb=True
+            d_bits, *ops, hpair, table=table, with_comb=True
         )  # [m, 1+nsd, sorb], [m, 1+nsd]
         flat = comb.reshape(-1, comb.shape[-1])
         _, in_d = lut_mod.lut_search(d_sorted, onv_ops.pack_bits(flat))
@@ -94,7 +95,13 @@ class NqsCi:
 
         @jax.jit
         def step(params, opt_state, key):
-            # ---- sample from φ, discard D members via weights ----
+            # ---- sample from φ, discard D members by weight-zeroing.
+            # NOTE: ar_sampling's exclude_sorted_keys is NOT used here:
+            # per-step exclusion renormalizes conditionals prefix by
+            # prefix, which is a DIFFERENT measure than the global
+            # restriction |φ'|²/‖φ'‖² that the estimators below assume
+            # (using it biased H_nn badly).  Weight-zeroing keeps the
+            # estimator exactly importance-consistent. ----
             bits, counts, _ = ar_sampling(
                 self.model, params, key, cfg.n_sample, capacity=cfg.capacity
             )
@@ -122,7 +129,7 @@ class NqsCi:
 
             # ---- MC piece: H_nn ----
             eloc = local_energy_simple(
-                partial(masked_log_psi, params), bits, ops, table
+                partial(masked_log_psi, params), bits, ops, table, hpair=hpair
             )  # [C, 2]
             alive = w > 0
             eloc = jnp.where(alive[:, None], eloc, 0.0)

@@ -46,6 +46,7 @@ def local_energy_simple(
     table: ExcitationTable,
     *,
     batch: int | None = None,
+    hpair: jax.Array | None = None,
 ) -> jax.Array:
     """E_loc for a batch of samples. bits [B, sorb] -> pair [B, 2]
     (Re E_loc, Im E_loc).
@@ -60,7 +61,7 @@ def local_energy_simple(
 
     def chunk_eloc(chunk_bits):
         comb, hij = comb_hij(
-            chunk_bits, h1e, h2e, diag1, K, J, table=table, with_comb=True
+            chunk_bits, h1e, h2e, diag1, K, J, hpair, table=table, with_comb=True
         )
         b, m, sorb = comb.shape
         lp = log_psi_fn(comb.reshape(b * m, sorb)).reshape(b, m, 2)
@@ -87,6 +88,7 @@ def local_energy_reduce(
     k_det: int = 256,
     n_stoch: int = 64,
     batch: int | None = None,
+    hpair: jax.Array | None = None,
 ) -> jax.Array:
     """Semi-stochastic screened E_loc (reference ElocMethod.REDUCE,
     vmc/energy/eloc.py:205-323), re-shaped for static-shape XLA:
@@ -103,7 +105,7 @@ def local_energy_reduce(
     def chunk_eloc(args):
         chunk_bits, k = args
         comb, hij = comb_hij(
-            chunk_bits, h1e, h2e, diag1, K, J, table=table, with_comb=True
+            chunk_bits, h1e, h2e, diag1, K, J, hpair, table=table, with_comb=True
         )
         b, m, sorb = comb.shape
         n_off = m - 1
@@ -171,6 +173,7 @@ def local_energy_sample_space(
     table: ExcitationTable,
     *,
     batch: int | None = None,
+    hpair: jax.Array | None = None,
 ) -> jax.Array:
     """Sample-space E_loc (reference ElocMethod.SAMPLE_SPACE,
     vmc/energy/eloc.py:326-508): ψ(m) only for m inside the sampled
@@ -187,7 +190,7 @@ def local_energy_sample_space(
     def chunk_eloc(args):
         chunk_bits, chunk_lp = args
         comb, hij = comb_hij(
-            chunk_bits, h1e, h2e, diag1, K, J, table=table, with_comb=True
+            chunk_bits, h1e, h2e, diag1, K, J, hpair, table=table, with_comb=True
         )
         b, m, sorb = comb.shape
         packed = _onv.pack_bits(comb[:, 1:, :].reshape(b * (m - 1), sorb))

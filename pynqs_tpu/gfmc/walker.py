@@ -76,15 +76,17 @@ class GFMC:
         self.system = system
         self.cfg = config or GFMCConfig()
         self._ops = system.tables.astuple()
+        self._hpair = system.tables.hpair
         self._table = system.excitation
 
         cfg = self.cfg
         h1e, h2e, diag1, K, J = self._ops
+        hpair = self._hpair
 
         @jax.jit
         def iteration(walkers, weights, key):
             comb, hij = comb_hij(
-                walkers, h1e, h2e, diag1, K, J, table=self._table,
+                walkers, h1e, h2e, diag1, K, J, hpair, table=self._table,
                 with_comb=True,
             )
             W, M, sorb = comb.shape

@@ -66,6 +66,13 @@ class ExcitationTable:
     duplicate (i, a) and are ignored by the kernels (the reference
     instead double-flips merged[0], excitation.cpp:112-122 — same
     effect, ours avoids the wasted flips).
+
+    Pair-factorized doubles metadata (for the MXU one-hot-matmul
+    Slater–Condon path — TPU's scatter/gather unit is scalar-bound,
+    so random h2e gathers are replaced by exact 0/1-matmul selection):
+    ``upairs``/``vpairs``: distinct (slot, slot) occupied/virtual pair
+    slots appearing in doubles; ``u_of_k``/``v_of_k``: [n_doubles]
+    maps from each double to its pair rows.
     """
 
     sorb: int
@@ -74,6 +81,10 @@ class ExcitationTable:
     n_singles: int
     n_doubles: int
     pos: np.ndarray
+    upairs: np.ndarray = None  # [n_u, 2] slot pairs (occupied)
+    vpairs: np.ndarray = None  # [n_v, 2] slot pairs (virtual)
+    u_of_k: np.ndarray = None  # [n_doubles]
+    v_of_k: np.ndarray = None  # [n_doubles]
 
     @property
     def n_sd(self) -> int:
@@ -142,8 +153,25 @@ def excitation_table(sorb: int, noa: int, nob: int) -> ExcitationTable:
     n_s = nsa + nsb
     n_d = ndaa + ndbb + ndab
     assert pos.shape[0] == n_s + n_d
+
+    # pair-factorized doubles maps: distinct occupied (slot_i, slot_j)
+    # and virtual (slot_a, slot_b) pairs, + per-double row indices
+    dpos = pos[n_s:]
+    occ_pairs = {}
+    vir_pairs = {}
+    u_of_k = np.zeros(n_d, np.int32)
+    v_of_k = np.zeros(n_d, np.int32)
+    for k in range(n_d):
+        i, a, j, b = (int(x) for x in dpos[k])
+        uo = (min(i, j), max(i, j))
+        vv = (min(a, b), max(a, b))
+        u_of_k[k] = occ_pairs.setdefault(uo, len(occ_pairs))
+        v_of_k[k] = vir_pairs.setdefault(vv, len(vir_pairs))
+    upairs = np.asarray(list(occ_pairs.keys()), np.int32).reshape(-1, 2)
+    vpairs = np.asarray(list(vir_pairs.keys()), np.int32).reshape(-1, 2)
     return ExcitationTable(
-        sorb=sorb, noa=noa, nob=nob, n_singles=n_s, n_doubles=n_d, pos=pos
+        sorb=sorb, noa=noa, nob=nob, n_singles=n_s, n_doubles=n_d, pos=pos,
+        upairs=upairs, vpairs=vpairs, u_of_k=u_of_k, v_of_k=v_of_k,
     )
 
 

@@ -192,6 +192,33 @@ def hubbard_1d(
     return hcore, eri
 
 
+def hubbard_2d(
+    nx: int, ny: int, t: float = 1.0, u: float = 4.0, pbc: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """2D square-lattice Hubbard model spatial integrals (hcore, ERI)."""
+    n = nx * ny
+    hcore = np.zeros((n, n))
+
+    def sid(r, c):
+        return r * nx + c
+
+    for r in range(ny):
+        for c in range(nx):
+            s = sid(r, c)
+            if c + 1 < nx:
+                hcore[s, sid(r, c + 1)] = hcore[sid(r, c + 1), s] = -t
+            elif pbc and nx > 2:
+                hcore[s, sid(r, 0)] = hcore[sid(r, 0), s] = -t
+            if r + 1 < ny:
+                hcore[s, sid(r + 1, c)] = hcore[sid(r + 1, c), s] = -t
+            elif pbc and ny > 2:
+                hcore[s, sid(0, c)] = hcore[sid(0, c), s] = -t
+    eri = np.zeros((n,) * 4)
+    for s in range(n):
+        eri[s, s, s, s] = u
+    return hcore, eri
+
+
 def spin_raising(sorb: int, c1: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
     """S-S+ penalty operator as (dense h1e, compressed h2e).
 
@@ -222,6 +249,11 @@ class HijTables:
     diag1: np.ndarray  # [sorb]   h1e[p,p]
     K: np.ndarray  # [sorb, sorb]   <pq||pq>
     J: np.ndarray  # [sorb, sorb*sorb]   J[k, p*sorb+q] = <pk||qk>
+    # dense symmetric pair matrix Hpair[pi, pj] = <pi||pj> (canonical
+    # orbital pairs): lets the doubles lookup run as exact one-hot MXU
+    # matmuls instead of scalar-bound random gathers; None when the
+    # pair space is too large to materialize (> ~4096 pairs).
+    Hpair: np.ndarray | None = None
 
 
 def precompute_hij_tables(
@@ -241,6 +273,15 @@ def precompute_hij_tables(
     pp = p[None, :, None]
     qq = p[None, None, :]
     J = h2e_element(h2e_c, pp, kk, qq, kk).astype(dtype)
+
+    npair = pair_count(sorb)
+    Hpair = None
+    if npair <= 4096:
+        a, b = np.tril_indices(npair)
+        tri = a * (a + 1) // 2 + b
+        Hpair = np.zeros((npair, npair), dtype=dtype)
+        Hpair[a, b] = h2e_c[tri]
+        Hpair[b, a] = h2e_c[tri]
     return HijTables(
         sorb=sorb,
         h1e=np.ascontiguousarray(h1e, dtype=dtype),
@@ -248,4 +289,5 @@ def precompute_hij_tables(
         diag1=np.ascontiguousarray(np.diag(h1e), dtype=dtype),
         K=np.ascontiguousarray(K),
         J=np.ascontiguousarray(J.reshape(sorb, sorb * sorb)),
+        Hpair=Hpair,
     )

@@ -69,6 +69,7 @@ class VMC:
             tx = optax.chain(optax.clip_by_global_norm(self.cfg.clip_grad), tx)
         self.tx = tx
         self._ops = system.tables.astuple()
+        self._hpair = system.tables.hpair
         self._table = system.excitation
         self.history: list[float] = []
 
@@ -106,6 +107,7 @@ class VMC:
                 self._ops,
                 self._table,
                 batch=self.cfg.eloc_batch,
+                hpair=self._hpair,
             )
             e, grads, var = energy_and_grad(self.model, params, bits, w, eloc)
             e_re = e[0]
@@ -138,12 +140,13 @@ class VMC:
             self.system.dtype,
         )
         ops = tuple(jnp.asarray(x) for x in (t.h1e, t.h2e, t.diag1, t.K, t.J))
+        hp = None if t.Hpair is None else jnp.asarray(t.Hpair)
         sampler = sampler or self.sampler
         chain = sampler.init_state(key)
         bits, w, _lp, _ = sampler.sample(self.model, params, key, chain)
         oloc = local_energy_simple(
             partial(self.model.log_psi, params), bits, ops, self._table,
-            batch=self.cfg.eloc_batch,
+            batch=self.cfg.eloc_batch, hpair=hp,
         )
         return operator_stats(oloc[:, 0], w)
 

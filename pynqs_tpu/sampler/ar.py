@@ -75,6 +75,7 @@ def ar_sampling(
     n_sample: int,
     *,
     capacity: int,
+    exclude_sorted_keys=None,
 ):
     """Exact AR sampling. Returns (bits [C, sorb] int8, counts [C] int32).
 
@@ -82,6 +83,16 @@ def ar_sampling(
     sum(counts) == n_sample up to capacity-overflow drops (overflow
     keeps the C highest-count branches; the dropped mass is returned as
     the third element for diagnostics).
+
+    ``exclude_sorted_keys``: sorted packed ONV keys (e.g. a CI
+    determinant set) whose members are masked out at the FINAL AR step
+    — the reference's DetLUT orthogonal-complement sampling
+    (utils/det_helper/determinant_lut.py, orthonormal_mask,
+    vmc/ansatz/symmetry.py:12).  CAVEAT: masking renormalizes the last
+    conditional PER PREFIX, so the sampled measure is NOT the global
+    restriction |ψ'|²/‖ψ'‖² — estimators must either use a log_psi
+    with the same per-step masking, or prefer sampling without
+    exclusion and zeroing the members' weights (see ci/nqs_ci.py).
     """
     sorb = model.sorb
     nps = model.sites_per_step  # 1 or 2
@@ -104,13 +115,19 @@ def ar_sampling(
     carry = model.ar_init(params, C)
 
     state = (bits, counts, used_a, used_b, prev, carry)
-    state = _ar_steps(model, params, key, state, 0, n_steps, site_order)
+    state = _ar_steps(
+        model, params, key, state, 0, n_steps, site_order,
+        exclude_sorted_keys=exclude_sorted_keys,
+    )
     bits, counts = state[0], state[1]
     dropped = n_sample - counts.sum()
     return bits, counts, dropped
 
 
-def _ar_steps(model, params, key, state, k_from: int, k_to: int, site_order):
+def _ar_steps(
+    model, params, key, state, k_from: int, k_to: int, site_order,
+    exclude_sorted_keys=None,
+):
     """Advance the fixed-capacity AR state over steps [k_from, k_to)."""
     sorb = model.sorb
     nps = model.sites_per_step
@@ -135,6 +152,26 @@ def _ar_steps(model, params, key, state, k_from: int, k_to: int, site_order):
                 mask = mask_one_site(used_a, noa, rem)
             else:
                 mask = mask_one_site(used_b, nob, rem)
+        if exclude_sorted_keys is not None and k == n_steps - 1:
+            # final-step orthogonal-complement mask: kill branches
+            # whose completed determinant is in the excluded set
+            from pynqs_tpu.ops import lut as _lut
+            from pynqs_tpu.ops import onv as _onv
+
+            cand = []
+            for v in range(ncat):
+                b2 = bits
+                if nps == 2:
+                    s = int(site_order[k])
+                    b2 = b2.at[:, 2 * s].set(jnp.int8(v & 1))
+                    b2 = b2.at[:, 2 * s + 1].set(jnp.int8((v >> 1) & 1))
+                else:
+                    b2 = b2.at[:, k].set(jnp.int8(v))
+                _, member = _lut.lut_search(
+                    exclude_sorted_keys, _onv.pack_bits(b2)
+                )
+                cand.append(~member)
+            mask = mask & jnp.stack(cand, axis=-1)
         logp = apply_mask_logp(logp, mask)
         # dead rows keep all mass in category 0 (count 0 anyway)
         sub = multinomial_partition(kk, counts, logp)  # [C, ncat]

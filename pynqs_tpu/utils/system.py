@@ -38,6 +38,7 @@ class DeviceTables:
     diag1: jnp.ndarray
     K: jnp.ndarray
     J: jnp.ndarray
+    hpair: jnp.ndarray | None = None  # dense pair matrix (MXU doubles)
 
     def astuple(self):
         return (self.h1e, self.h2e, self.diag1, self.K, self.J)
@@ -76,6 +77,7 @@ class System:
             diag1=jnp.asarray(t.diag1),
             K=jnp.asarray(t.K),
             J=jnp.asarray(t.J),
+            hpair=None if t.Hpair is None else jnp.asarray(t.Hpair),
         )
 
     # ---------------- constructors ----------------
