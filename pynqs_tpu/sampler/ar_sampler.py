@@ -19,19 +19,35 @@ __all__ = ["ARSampler"]
 
 @dataclass(frozen=True)
 class ARSampler:
+    """With ``mesh`` set, sampling runs tree-sharded over the mesh's
+    ``dp`` axis (reference "use_same_tree" multi-rank sampling): each
+    device owns a disjoint slice of the branch tree, so the unique
+    sample buffer comes back sharded with no cross-device merge."""
+
     sorb: int
     noa: int
     nob: int
     n_sample: int = 1 << 12
     capacity: int = 1 << 10  # max unique determinants carried
+    mesh: object = None
+    tree_height: int | None = None
 
     def init_state(self, key: jax.Array):
         return None
 
     def sample(self, model, params, key: jax.Array, state=None):
-        bits, counts, _dropped = ar_sampling(
-            model, params, key, self.n_sample, capacity=self.capacity
-        )
+        if self.mesh is not None:
+            from pynqs_tpu.sampler.ar import ar_sampling_sharded
+
+            bits, counts, _dropped = ar_sampling_sharded(
+                model, params, key, self.n_sample,
+                capacity=self.capacity, mesh=self.mesh,
+                tree_height=self.tree_height,
+            )
+        else:
+            bits, counts, _dropped = ar_sampling(
+                model, params, key, self.n_sample, capacity=self.capacity
+            )
         lp = model.log_psi(params, bits)  # [C, 2] pair
         w = counts.astype(lp.dtype) / jnp.maximum(counts.sum(), 1)
         return bits, w, lp, None

@@ -31,6 +31,24 @@ def test_dp_vmc_step_runs_sharded(mesh):
     assert np.isfinite(hist).all()
 
 
+def test_vmc_with_sharded_ar_sampler(mesh):
+    from pynqs_tpu.sampler import ARSampler
+
+    sys = System.hubbard_1d(3, 2, 1, u=4.0)
+    model = RNNWavefunction(sys.sorb, sys.noa, sys.nob, hidden=8, phase_hidden=8)
+    sampler = ARSampler(
+        sys.sorb, sys.noa, sys.nob, n_sample=4096, capacity=64,
+        mesh=mesh, tree_height=2,
+    )
+    vmc = VMC(
+        model, sys, sampler, VMCConfig(n_iter=3, lr=1e-2, log_every=10**6),
+        mesh=mesh,
+    )
+    with mesh:
+        _, hist = vmc.run(jax.random.PRNGKey(0), n_iter=3)
+    assert np.isfinite(hist).all()
+
+
 def test_sharded_ar_sampling_disjoint_and_unbiased(mesh):
     sorb, noa, nob = 8, 2, 2
     model = RNNWavefunction(sorb, noa, nob, hidden=16, phase_hidden=8)
