@@ -57,10 +57,12 @@ class Jastrow:
 @dataclass(frozen=True)
 class IsingRBM:
     """RBM with spin-pair (Ising) visible couplings feeding the hidden
-    layer (rbm_other.py:10): θ_j = Σ_pq W_j,pq x_p x_q + b_j."""
+    layer (rbm_other.py:10 IsingRBM / :175 RIsingRBM — the real and
+    complex-parameter variants): θ_j = Σ_pq W_j,pq x_p x_q + b_j."""
 
     sorb: int
     alpha: int = 1
+    param_type: str = "real"  # "real" | "complex"
     dtype: jnp.dtype = jnp.float64
 
     @property
@@ -68,23 +70,44 @@ class IsingRBM:
         return self.alpha * self.sorb
 
     def init(self, key):
-        k1, k2 = jax.random.split(key)
-        return {
+        k = jax.random.split(key, 5)
+        p = {
             "W": 0.01
             * jax.random.normal(
-                k1, (self.nh, self.sorb, self.sorb), self.dtype
+                k[0], (self.nh, self.sorb, self.sorb), self.dtype
             ),
             "b": jnp.zeros((self.nh,), self.dtype),
-            "a": 0.01 * jax.random.normal(k2, (self.sorb,), self.dtype),
+            "a": 0.01 * jax.random.normal(k[1], (self.sorb,), self.dtype),
         }
+        if self.param_type == "complex":
+            p["W_im"] = 0.01 * jax.random.normal(
+                k[2], (self.nh, self.sorb, self.sorb), self.dtype
+            )
+            p["b_im"] = jnp.zeros((self.nh,), self.dtype)
+            p["a_im"] = 0.01 * jax.random.normal(
+                k[3], (self.sorb,), self.dtype
+            )
+        return p
 
     def log_psi(self, params, bits):
+        from pynqs_tpu.ops import cplx
+
         x = bits_to_spins(bits, self.dtype)
-        theta = (
+        th_re = (
             jnp.einsum("...p,jpq,...q->...j", x, params["W"], x) + params["b"]
         )
-        out = x @ params["a"] + jnp.log(2 * jnp.cosh(theta)).sum(-1)
-        return _pair0(out)
+        vis_re = x @ params["a"]
+        if self.param_type == "complex":
+            th_im = (
+                jnp.einsum("...p,jpq,...q->...j", x, params["W_im"], x)
+                + params["b_im"]
+            )
+            vis_im = x @ params["a_im"]
+        else:
+            th_im = jnp.zeros_like(th_re)
+            vis_im = jnp.zeros_like(vis_re)
+        la, ph = cplx.log2cosh_pair(th_re, th_im)
+        return cplx.make(vis_re + la.sum(-1), vis_im + ph.sum(-1))
 
 
 @dataclass(frozen=True)

@@ -126,6 +126,13 @@ class GraphMPSRNN:
     #           phases depend on this choice (amplitudes are
     #           normalization-invariant).
     norm_mode: str = "unit"
+    # compressed tensor coupling for multi-predecessor sites
+    # (reference use_tensor + tensor_cmpr K/U einsum chain,
+    # graph_mpsrnn.py:915-977): adds
+    #   Δh̃(x) = K[x] · Π_p (U_p[x] · h_p)    (elementwise product over
+    # the compressed index) at sites with ≥ 2 predecessors.
+    use_tensor: bool = False
+    dcut_cmpr: int = 4
     # static tables, filled in __post_init__
     _order: tuple = field(default=None, repr=False)
     _pred: np.ndarray = field(default=None, repr=False)
@@ -184,6 +191,13 @@ class GraphMPSRNN:
             "eta": jnp.ones((norb, 4, d), self.dtype),  # learned P metric
             "global_phase": jnp.zeros((), self.dtype),
         }
+        if self.use_tensor:
+            dc = self.dcut_cmpr
+            kk = jax.random.split(key, 10)
+            p["U_re"] = nrm(kk[6], (norb, mp, 4, dc, d), 0.1 / np.sqrt(d))
+            p["U_im"] = nrm(kk[7], (norb, mp, 4, dc, d), 0.1 / np.sqrt(d))
+            p["K_re"] = nrm(kk[8], (norb, 4, d, dc), 0.1 / np.sqrt(dc))
+            p["K_im"] = nrm(kk[9], (norb, 4, d, dc), 0.1 / np.sqrt(dc))
         if self.phase_mode == "linear":
             p["w_ph"] = nrm(k[4], (norb, 4, 2 * d), 1.0 / np.sqrt(2 * d))
             p["c_ph"] = jnp.zeros((norb, 4), self.dtype)
@@ -217,6 +231,33 @@ class GraphMPSRNN:
         )
         ht_re = t_re + params["v_re"][t][None]
         ht_im = t_im + params["v_im"][t][None]
+        n_pred = int(self._pred_mask[t].sum())
+        if self.use_tensor and n_pred >= 2:
+            # Δh̃(x) = K[x] · Π_p (U_p[x] h_p), compressed index c
+            pr_re = None
+            for j in range(n_pred):
+                hj_re = h_re[:, self._pred[t, j]]  # [B, d]
+                hj_im = h_im[:, self._pred[t, j]]
+                Ur = params["U_re"][t, j]  # [4, dc, d]
+                Ui = params["U_im"][t, j]
+                u_re = jnp.einsum("xcd,bd->bxc", Ur, hj_re) - jnp.einsum(
+                    "xcd,bd->bxc", Ui, hj_im
+                )
+                u_im = jnp.einsum("xcd,bd->bxc", Ur, hj_im) + jnp.einsum(
+                    "xcd,bd->bxc", Ui, hj_re
+                )
+                if pr_re is None:
+                    pr_re, pr_im = u_re, u_im
+                else:
+                    pr_re, pr_im = _cmul(pr_re, pr_im, u_re, u_im)
+            Kr = params["K_re"][t]  # [4, d, dc]
+            Ki = params["K_im"][t]
+            ht_re = ht_re + jnp.einsum("xdc,bxc->bxd", Kr, pr_re) - jnp.einsum(
+                "xdc,bxc->bxd", Ki, pr_im
+            )
+            ht_im = ht_im + jnp.einsum("xdc,bxc->bxd", Kr, pr_im) + jnp.einsum(
+                "xdc,bxc->bxd", Ki, pr_re
+            )
         eta = jax.nn.softplus(params["eta"][t])[None]  # positive metric
         w = (eta * (ht_re**2 + ht_im**2)).sum(-1)  # [B, 4]
         logw = jnp.log(jnp.maximum(w, 1e-300))

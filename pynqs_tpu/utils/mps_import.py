@@ -21,7 +21,30 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["load_focus_mpsrnn"]
+__all__ = ["load_focus_mpsrnn", "grow_dcut"]
+
+
+def grow_dcut(params: dict, model_old, model_new) -> dict:
+    """Zero-pad Graph-MPS-RNN parameters from a smaller dcut to a
+    larger one (reference dcut-growing pad, graph_mpsrnn.py:483-527):
+    warm-starts a higher-bond-dimension run from a converged smaller
+    one."""
+    import jax
+
+    d0, d1 = model_old.dcut, model_new.dcut
+    if d1 < d0:
+        raise ValueError("grow_dcut only grows")
+    out = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), model_new.init(__import__("jax").random.PRNGKey(0)))
+    for k, v in params.items():
+        v = np.asarray(v)
+        tgt = np.asarray(out[k]).copy()
+        if v.shape == tgt.shape:
+            tgt = v
+        else:
+            sl = tuple(slice(0, s) for s in v.shape)
+            tgt[sl] = v
+        out[k] = jnp.asarray(tgt, model_new.dtype)
+    return out
 
 
 def _strip(key_dict):

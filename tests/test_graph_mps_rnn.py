@@ -76,6 +76,18 @@ def test_nontrivial_order_and_multi_pred_graph():
     _check_normalized_and_sampling(model, key=3)
 
 
+def test_tensor_coupling_normalized_and_sampling():
+    # multi-predecessor graph with the compressed tensor term active
+    order = [0, 1, 2, 3]
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (1, 3)]
+    g = graph_from_edges(4, edges, order)
+    model = GraphMPSRNN(
+        sorb=8, noa=2, nob=2, dcut=6, graph=g,
+        use_tensor=True, dcut_cmpr=3,
+    )
+    _check_normalized_and_sampling(model, key=7)
+
+
 def test_grid_snake_graph_shapes():
     g = grid_snake_graph(3, 2)
     model = GraphMPSRNN(sorb=12, noa=2, nob=2, dcut=4, graph=g)
