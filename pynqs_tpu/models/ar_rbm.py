@@ -105,7 +105,8 @@ class ARRBM:
                 m = mask_one_site(exc_b[:, k // 2], self.nob, rem)
             masked.append(apply_mask_logp(logp[:, k], m))
         logp = jnp.stack(masked, axis=1)
-        picked = jnp.take_along_axis(logp, bits[..., None], -1)[..., 0]
+        oh = jax.nn.one_hot(bits, 2, dtype=logp.dtype)
+        picked = (logp * oh).sum(-1)  # one-hot select (VPU, not gather)
         log_amp = 0.5 * picked.sum(-1)
         phase = jnp.tanh(x @ params["ph_w1"] + params["ph_b1"]) @ params["ph_w2"]
         from pynqs_tpu.ops import cplx

@@ -105,8 +105,9 @@ class MPSDecoder:
 
     @staticmethod
     def _select_norm(c_re, c_im, x):
-        sel_re = jnp.take_along_axis(c_re, x[:, None, None], 1)[:, 0]
-        sel_im = jnp.take_along_axis(c_im, x[:, None, None], 1)[:, 0]
+        oh = jax.nn.one_hot(x, 4, dtype=c_re.dtype)  # one-hot select
+        sel_re = jnp.einsum("bx,bxd->bd", oh, c_re)
+        sel_im = jnp.einsum("bx,bxd->bd", oh, c_im)
         nrm = jax.lax.rsqrt(
             jnp.maximum((sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-300)
         )
@@ -149,7 +150,8 @@ class MPSDecoder:
             )
             logp = apply_mask_logp(logw, mask)
             x = vals[:, t]
-            log_amp = log_amp + 0.5 * jnp.take_along_axis(logp, x[:, None], -1)[:, 0]
+            oh = jax.nn.one_hot(x, 4, dtype=logp.dtype)
+            log_amp = log_amp + 0.5 * (logp * oh).sum(-1)
             v_re, v_im = self._select_norm(c_re, c_im, x)
             z_re = v_re @ params["w_re"][t] - v_im @ params["w_im"][t] + params["c_re"][t]
             z_im = v_im @ params["w_re"][t] + v_re @ params["w_im"][t] + params["c_im"][t]

@@ -140,7 +140,8 @@ class RNNWavefunction:
         if squeeze:
             bits = bits[None]
         logp = self._cond_logp(params, bits)
-        picked = jnp.take_along_axis(logp, bits[..., None], axis=-1)[..., 0]
+        oh = jax.nn.one_hot(bits, 2, dtype=logp.dtype)  # [B, sorb, 2]
+        picked = (logp * oh).sum(-1)  # one-hot select (VPU, not gather)
         log_amp = 0.5 * picked.sum(-1)
         spins = bits_to_spins(bits, self.dtype)
         phase = _dense(

@@ -113,7 +113,9 @@ class DecoderWavefunction:
     def _hidden_full(self, params, tokens: jax.Array) -> jax.Array:
         """Final-layernorm hidden states [B, L, d_model] (teacher-forced)."""
         B, L = tokens.shape
-        h = params["wte"][tokens] + params["wpe"][None, :L]
+        # one-hot embedding select (per-row gathers are scalar-bound)
+        toh = jax.nn.one_hot(tokens, 5, dtype=params["wte"].dtype)
+        h = toh @ params["wte"] + params["wpe"][None, :L]
         causal = jnp.tril(jnp.ones((L, L), bool))
         for blk in params["blocks"]:
             x = _ln(blk["ln1"], h)
@@ -162,7 +164,8 @@ class DecoderWavefunction:
             bits = bits[None]
         logp = self._cond_logp(params, bits)
         vals = (bits[:, 0::2] + 2 * bits[:, 1::2]).astype(jnp.int32)
-        picked = jnp.take_along_axis(logp, vals[..., None], axis=-1)[..., 0]
+        voh = jax.nn.one_hot(vals, 4, dtype=logp.dtype)
+        picked = (logp * voh).sum(-1)  # one-hot select
         log_amp = 0.5 * picked.sum(-1)
         spins = bits_to_spins(bits, self.dtype)
         phase = (
@@ -198,7 +201,8 @@ class DecoderWavefunction:
         """One cached decoding step: hidden [C, d_model] + updated cache."""
         C = prev.shape[0]
         tok = jnp.full((C,), 4, jnp.int32) if k == 0 else prev
-        h = params["wte"][tok] + params["wpe"][k]  # [C, d]
+        toh = jax.nn.one_hot(tok, 5, dtype=params["wte"].dtype)
+        h = toh @ params["wte"] + params["wpe"][k]  # [C, d]
         pos_mask = (np.arange(self.n_blocks) <= k)[None, None, :]  # [1,1,L]
         for li, blk in enumerate(params["blocks"]):
             x = _ln(blk["ln1"], h)
