@@ -213,6 +213,13 @@ class VMC:
             )
             e_tot = float(e) + ecore
             dt = time.perf_counter() - t0
+            if not (e_tot == e_tot):  # NaN guard (reference etot.py:150)
+                log.info(f"iter {it}: energy is NaN — aborting run")
+                log.close()
+                raise FloatingPointError(
+                    f"NaN energy at iteration {it}; last good: "
+                    f"{self.history[-1] if self.history else None}"
+                )
             self.history.append(e_tot)
             if callback is not None:
                 callback(it, e_tot, float(var))
