@@ -31,6 +31,8 @@ __all__ = [
     "sort_onv",
     "unique_onv",
     "lut_search",
+    "lut_search_mxu",
+    "lut_lookup_mxu",
     "WavefunctionLUT",
 ]
 
@@ -123,6 +125,110 @@ def lut_search(sorted_keys: jax.Array, queries: jax.Array):
     return idx, found
 
 
+def lut_search_mxu(
+    sorted_keys: jax.Array, queries: jax.Array, bucket: int = 128
+):
+    """Bucketed one-hot-matmul lookup — the TPU-fast LUT path.
+
+    `lut_search`'s bisection issues log2(M) data-dependent row gathers
+    per query, which lower to the TPU scalar core (seconds for 16M
+    queries).  Here instead:
+
+      1. bucket id = #splitters ≤ q  (vectorized lexicographic
+         compares against the M/bucket splitter keys),
+      2. the query's candidate bucket rows arrive via an exact one-hot
+         MXU matmul (no gather),
+      3. equality against the bucket gives found + local position.
+
+    Returns (idx [Q] int32, found [Q] bool).  Cost ≈ Q·nb lex compares
+    + Q×nb×bucket·nw MXU flops — ~ms-scale for 16M × 4096.
+    """
+    m, nw = sorted_keys.shape
+    nb = -(-m // bucket)  # ceil
+    pad = nb * bucket - m
+    keys = sorted_keys
+    if pad:
+        # pad with the max key (sorts after everything real)
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[-1:], (pad, nw))], axis=0
+        )
+    table = keys.reshape(nb, bucket, nw)
+    splitters = table[:, 0, :]  # [nb, nw]
+
+    q = queries  # [Q, nw]
+    # bucket id: (# splitters <= q) - 1, clipped at 0
+    le = onv.compare_keys_le(splitters[None, :, :], q[:, None, :])  # [Q, nb]
+    bid = jnp.maximum(le.sum(-1).astype(jnp.int32) - 1, 0)
+    oh = jax.nn.one_hot(bid, nb, dtype=jnp.float32)  # [Q, nb]
+    # candidate rows via exact one-hot matmul (keys as f32 halves to
+    # stay exact: uint32 split into two 16-bit parts < 2^24)
+    t_lo = (table & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    t_hi = (table >> jnp.uint32(16)).astype(jnp.float32)
+    flat = jnp.concatenate(
+        [t_lo.reshape(nb, -1), t_hi.reshape(nb, -1)], axis=-1
+    )  # [nb, 2*bucket*nw]
+    cand = oh @ flat  # [Q, 2*bucket*nw]
+    c_lo = cand[:, : bucket * nw].reshape(-1, bucket, nw)
+    c_hi = cand[:, bucket * nw :].reshape(-1, bucket, nw)
+    q_lo = (q & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    q_hi = (q >> jnp.uint32(16)).astype(jnp.float32)
+    eq = ((c_lo == q_lo[:, None, :]) & (c_hi == q_hi[:, None, :])).all(-1)
+    found = eq.any(-1)
+    local = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+    idx = jnp.clip(bid * bucket + local, 0, m - 1)
+    return idx, found
+
+
+def lut_lookup_mxu(
+    sorted_keys: jax.Array,
+    values: jax.Array,
+    queries: jax.Array,
+    fill=0.0,
+    bucket: int = 128,
+):
+    """One-hot-matmul key+value lookup (see lut_search_mxu): values are
+    pulled through the same exact one-hot contraction, so the whole
+    lookup is gather-free.  values [M, V]; returns ([Q, V], found)."""
+    m, nw = sorted_keys.shape
+    vdim = values.shape[-1]
+    nb = -(-m // bucket)
+    pad = nb * bucket - m
+    keys = sorted_keys
+    vals = values
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[-1:], (pad, nw))], axis=0
+        )
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad, vdim), values.dtype)], axis=0
+        )
+    table = keys.reshape(nb, bucket, nw)
+    vtab = vals.reshape(nb, bucket * vdim)
+    splitters = table[:, 0, :]
+
+    q = queries
+    le = onv.compare_keys_le(splitters[None, :, :], q[:, None, :])
+    bid = jnp.maximum(le.sum(-1).astype(jnp.int32) - 1, 0)
+    oh = jax.nn.one_hot(bid, nb, dtype=jnp.float32)
+    t_lo = (table & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    t_hi = (table >> jnp.uint32(16)).astype(jnp.float32)
+    flat = jnp.concatenate(
+        [t_lo.reshape(nb, -1), t_hi.reshape(nb, -1)], axis=-1
+    )
+    cand = oh @ flat
+    c_lo = cand[:, : bucket * nw].reshape(-1, bucket, nw)
+    c_hi = cand[:, bucket * nw :].reshape(-1, bucket, nw)
+    q_lo = (q & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    q_hi = (q >> jnp.uint32(16)).astype(jnp.float32)
+    eq = ((c_lo == q_lo[:, None, :]) & (c_hi == q_hi[:, None, :])).all(-1)
+    found = eq.any(-1)
+    # value selection in the values' own dtype (f64 on CPU stays exact)
+    cand_vals = (oh.astype(vtab.dtype) @ vtab).reshape(-1, bucket, vdim)
+    sel = (eq.astype(vtab.dtype)[:, :, None] * cand_vals).sum(1)
+    out = jnp.where(found[:, None], sel, fill)
+    return out, found
+
+
 @dataclass(frozen=True)
 class WavefunctionLUT:
     """ψ cache over a sorted determinant set (reference
@@ -143,7 +249,23 @@ class WavefunctionLUT:
             sv = jnp.stack(scols, axis=-1)
         return cls(sorted_keys=sp, values=sv)
 
-    def lookup_packed(self, packed: jax.Array, fill=0.0):
+    def lookup_packed(self, packed: jax.Array, fill=0.0, method: str = "auto"):
+        """method: "mxu" (gather-free one-hot matmul — TPU default for
+        tables ≤ 64k keys), "bisect" (log2(M) probes — CPU / huge
+        tables), or "auto"."""
+        m = self.sorted_keys.shape[0]
+        if method == "auto":
+            method = "mxu" if m <= (1 << 16) else "bisect"
+        if method == "mxu":
+            vals2d = (
+                self.values[:, None] if self.values.ndim == 1 else self.values
+            )
+            out, found = lut_lookup_mxu(
+                self.sorted_keys, vals2d, packed, fill
+            )
+            if self.values.ndim == 1:
+                out = out[:, 0]
+            return out, found
         idx, found = lut_search(self.sorted_keys, packed)
         vals = jnp.take(self.values, idx, axis=0)
         mask = found if vals.ndim == found.ndim else found[..., None]

@@ -63,6 +63,33 @@ def test_lut_search_vs_searchsorted():
             assert not found[i]
 
 
+def test_mxu_lookup_matches_bisect():
+    rng = np.random.default_rng(3)
+    sorb = 24
+    space = fci.fci_bits(sorb, 3, 3)  # keys, sorted
+    m = space.shape[0]
+    keys = onv.pack_bits(jnp.asarray(space))
+    values = jnp.asarray(rng.standard_normal((m, 2)))
+    table = lut.WavefunctionLUT(sorted_keys=keys, values=values)
+
+    q_hit = space[rng.integers(0, m, 500)]
+    q_miss = rng.integers(0, 2, size=(100, sorb)).astype(np.int8)
+    queries = onv.pack_bits(jnp.asarray(np.concatenate([q_hit, q_miss])))
+
+    v_b, f_b = table.lookup_packed(queries, fill=0.0, method="bisect")
+    v_m, f_m = table.lookup_packed(queries, fill=0.0, method="mxu")
+    np.testing.assert_array_equal(np.asarray(f_b), np.asarray(f_m))
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_m), atol=0)
+
+    idx_m, f2 = lut.lut_search_mxu(keys, queries)
+    idx_b, f3 = lut.lut_search(keys, queries)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f3))
+    hit = np.asarray(f2)
+    np.testing.assert_array_equal(
+        np.asarray(idx_m)[hit], np.asarray(idx_b)[hit]
+    )
+
+
 def _small_system():
     sys = System.hubbard_1d(4, 2, 2, u=4.0)
     model = RBM(sorb=sys.sorb, alpha=2, param_type="complex")
