@@ -172,13 +172,48 @@ class VMC:
         params=None,
         n_iter: int | None = None,
         callback: Callable[[int, float, float], None] | None = None,
+        resume_from: str | None = None,
     ):
-        """Optimize; returns (params, energies list — total incl. ecore)."""
+        """Optimize; returns (params, energies list — total incl. ecore).
+
+        ``resume_from``: checkpoint path — restores params, optimizer
+        state and energy history and continues (reference
+        read_checkpoint, _base.py:289-308)."""
         n_iter = n_iter or self.cfg.n_iter
         k_init, key = jax.random.split(key)
-        if params is None:
-            params = self.model.init(k_init)
-        opt_state = self.tx.init(params)
+        if resume_from is not None:
+            from pynqs_tpu.utils.checkpoint import load_checkpoint
+
+            ck = load_checkpoint(resume_from)
+            template = params if params is not None else self.model.init(k_init)
+            params = jax.tree.map(
+                lambda t, r: jnp.asarray(r, t.dtype), template, ck["params"]
+            )
+            # orbax restores NamedTuple optax states as plain lists —
+            # rebuild against the template treedef by leaf order
+            template = self.tx.init(params)
+            leaves_t, treedef = jax.tree.flatten(template)
+            leaves_r = jax.tree.leaves(ck["opt_state"])
+            if len(leaves_t) != len(leaves_r):
+                raise ValueError(
+                    "checkpoint optimizer state does not match the "
+                    f"configured optimizer ({len(leaves_r)} vs "
+                    f"{len(leaves_t)} leaves)"
+                )
+            opt_state = jax.tree.unflatten(
+                treedef,
+                [
+                    jnp.asarray(r, getattr(t, "dtype", None))
+                    if hasattr(t, "dtype")
+                    else r
+                    for t, r in zip(leaves_t, leaves_r)
+                ],
+            )
+            self.history = list(ck["history"])
+        else:
+            if params is None:
+                params = self.model.init(k_init)
+            opt_state = self.tx.init(params)
         chain_state = self.sampler.init_state(k_init)
         if chain_state is not None and self._batch_sharding is not None:
             chain_state = jax.device_put(chain_state, self._batch_sharding)
