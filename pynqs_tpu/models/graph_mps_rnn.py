@@ -270,7 +270,11 @@ class GraphMPSRNN:
             wi = params["w_arg_im"][t]
             z_re = h_re @ wr - h_im @ wi + params["c_arg_re"][t]
             z_im = h_im @ wr + h_re @ wi + params["c_arg_im"][t]
-            return jnp.arctan2(z_im, z_re)
+            # magnitude-floored backward: atan2's gradient diverges
+            # as |z| -> 0 and one NaN poisons the parameter pytree
+            from pynqs_tpu.ops.cplx import safe_atan2
+
+            return safe_atan2(z_im, z_re)
         hcat = jnp.concatenate([h_re, h_im], -1)  # [B, 2d]
         oh = jax.nn.one_hot(x, 4, dtype=hcat.dtype)
         wv = oh @ params["w_ph"][t]  # [B, 2d]

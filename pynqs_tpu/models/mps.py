@@ -84,7 +84,9 @@ class MPSWavefunction:
 
         z_re = v_re @ params["r"]
         z_im = v_im @ params["r"]
+        from pynqs_tpu.ops.cplx import safe_atan2
+
         la = log_norm + 0.5 * jnp.log(jnp.maximum(z_re**2 + z_im**2, 1e-300))
-        ph = jnp.arctan2(z_im, z_re)
+        ph = safe_atan2(z_im, z_re)
         out = cplx.make(la, ph)
         return out[0] if squeeze else out

@@ -155,7 +155,9 @@ class MPSDecoder:
             v_re, v_im = self._select_norm(c_re, c_im, x)
             z_re = v_re @ params["w_re"][t] - v_im @ params["w_im"][t] + params["c_re"][t]
             z_im = v_im @ params["w_re"][t] + v_re @ params["w_im"][t] + params["c_im"][t]
-            phase = phase + jnp.arctan2(z_im, z_re)
+            from pynqs_tpu.ops.cplx import safe_atan2
+
+            phase = phase + safe_atan2(z_im, z_re)  # bounded backward
         out = cplx.make(log_amp, phase)
         return out[0] if squeeze else out
 

@@ -14,6 +14,7 @@ tests/analysis only.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -74,12 +75,37 @@ def add_exp(lp1, lp2, c1=1.0, c2=1.0):
     re = r1 * jnp.cos(lp1[..., 1]) + r2 * jnp.cos(lp2[..., 1])
     im = r1 * jnp.sin(lp1[..., 1]) + r2 * jnp.sin(lp2[..., 1])
     mag2 = re**2 + im**2
-    return make(m + 0.5 * jnp.log(jnp.maximum(mag2, 1e-300)), jnp.arctan2(im, re))
+    return make(
+        m + 0.5 * jnp.log(jnp.maximum(mag2, 1e-300)), safe_atan2(im, re)
+    )
 
 
 def scale(lp, log_c: float = 0.0, phase_c: float = 0.0):
     """Multiply ψ by a constant c = exp(log_c + i·phase_c)."""
     return make(lp[..., 0] + log_c, lp[..., 1] + phase_c)
+
+
+@jax.custom_vjp
+def safe_atan2(y, x):
+    """atan2 with a magnitude-floored backward pass.
+
+    d atan2/d(x,y) = (−y, x)/(x²+y²) diverges as |z| → 0; one NaN/inf
+    cotangent poisons the whole parameter pytree.  Forward is exact;
+    the backward denominator is floored."""
+    return jnp.arctan2(y, x)
+
+
+def _safe_atan2_fwd(y, x):
+    return jnp.arctan2(y, x), (y, x)
+
+
+def _safe_atan2_bwd(res, g):
+    y, x = res
+    m2 = jnp.maximum(x * x + y * y, 1e-12)
+    return (g * x / m2, -g * y / m2)
+
+
+safe_atan2.defvjp(_safe_atan2_fwd, _safe_atan2_bwd)
 
 
 # ---- stable log(2·f(θ)) for complex θ given as (re, im) pairs ----

@@ -29,6 +29,9 @@ class VMCConfig:
     n_iter: int = 500
     lr: float = 1e-2
     eloc_batch: int | None = None  # chunk of samples per eloc slab
+    eloc_method: str = "simple"  # "simple" | "reduce"
+    eloc_k_det: int = 256  # REDUCE: deterministic top-k terms
+    eloc_n_stoch: int = 64  # REDUCE: stochastic tail draws
     clip_grad: float | None = 1.0  # global-norm clip; None = off
     optimizer: optax.GradientTransformation | None = None
     log_every: int = 25
@@ -101,14 +104,30 @@ class VMC:
                 )
                 w = jax.lax.stop_gradient(w * jnp.where(w > 0, f2, 0.0))
                 w = w / w.sum()
-            eloc = local_energy_simple(
-                partial(self.model.log_psi, params),
-                bits,
-                self._ops,
-                self._table,
-                batch=self.cfg.eloc_batch,
-                hpair=self._hpair,
-            )
+            if self.cfg.eloc_method == "reduce":
+                from pynqs_tpu.energy.eloc import local_energy_reduce
+
+                _, k_e = jax.random.split(key)
+                eloc = local_energy_reduce(
+                    partial(self.model.log_psi, params),
+                    bits,
+                    self._ops,
+                    self._table,
+                    k_e,
+                    k_det=self.cfg.eloc_k_det,
+                    n_stoch=self.cfg.eloc_n_stoch,
+                    batch=self.cfg.eloc_batch,
+                    hpair=self._hpair,
+                )
+            else:
+                eloc = local_energy_simple(
+                    partial(self.model.log_psi, params),
+                    bits,
+                    self._ops,
+                    self._table,
+                    batch=self.cfg.eloc_batch,
+                    hpair=self._hpair,
+                )
             e, grads, var = energy_and_grad(self.model, params, bits, w, eloc)
             e_re = e[0]
             if self.cfg.use_sr:
@@ -120,7 +139,11 @@ class VMC:
                 )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, chain_state, e_re, var
+            # liveness diagnostic: a NaN-poisoned model produces zero
+            # sample counts, which reads as E = 0.0 (not NaN) — surface
+            # it as an explicit flag for the host loop
+            w_sum = jax.lax.stop_gradient(w.sum())
+            return params, opt_state, chain_state, e_re, var, w_sum
 
         return step
 
@@ -243,16 +266,21 @@ class VMC:
             use = ramp_fn if (ramp_fn is not None and it < self.cfg.ramp_iter) else step_fn
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
-            params, opt_state, chain_state, e, var = use(
+            params, opt_state, chain_state, e, var, w_sum = use(
                 params, opt_state, k, chain_state
             )
             e_tot = float(e) + ecore
             dt = time.perf_counter() - t0
-            if not (e_tot == e_tot):  # NaN guard (reference etot.py:150)
-                log.info(f"iter {it}: energy is NaN — aborting run")
+            if (not (e_tot == e_tot)) or float(w_sum) <= 0.0:
+                # NaN guard (reference etot.py:150) + dead-sampler guard
+                # (NaN params produce zero counts, which reads as E=0)
+                log.info(
+                    f"iter {it}: energy NaN or dead sampler "
+                    f"(w_sum={float(w_sum)}) — aborting run"
+                )
                 log.close()
                 raise FloatingPointError(
-                    f"NaN energy at iteration {it}; last good: "
+                    f"NaN/dead-sampler at iteration {it}; last good: "
                     f"{self.history[-1] if self.history else None}"
                 )
             self.history.append(e_tot)
