@@ -27,7 +27,6 @@ from pynqs_tpu.models.transformer import (
     DecoderWavefunction,
     _dense,
     _dense_init,
-    _ln,
 )
 from pynqs_tpu.ops import cplx
 from pynqs_tpu.sampler.symmetry import apply_mask_logp, mask_two_site

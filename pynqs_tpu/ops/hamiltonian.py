@@ -30,11 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from pynqs_tpu.ops import onv
-from pynqs_tpu.ops.excitation import (
-    ExcitationTable,
-    excitation_table,
-    make_comb_bits,
-)
+from pynqs_tpu.ops.excitation import ExcitationTable, make_comb_bits
 
 __all__ = [
     "hij_diagonal",

@@ -24,13 +24,10 @@ tests/test_ar_sampling.py against exact enumeration).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 from pynqs_tpu.sampler.symmetry import (
-    NEG_INF,
     apply_mask_logp,
     mask_one_site,
     mask_two_site,
