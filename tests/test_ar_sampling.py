@@ -6,6 +6,7 @@ sampled frequencies vs |ψ|², sampled wf == forward wf) as real tests.
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 import oracle
@@ -19,6 +20,7 @@ def _pack_rows(bits):
     return [tuple(int(x) for x in row) for row in np.asarray(bits)]
 
 
+@pytest.mark.slow
 def test_ar_frequencies_match_psi2():
     sorb, noa, nob = 8, 2, 2
     model = RNNWavefunction(sorb, noa, nob, hidden=16, phase_hidden=8)
@@ -78,6 +80,7 @@ def test_ar_capacity_compaction_keeps_largest():
     assert kept > top_mass - 0.15, (kept, top_mass)
 
 
+@pytest.mark.slow
 def test_vmc_ar_rnn_reaches_fci():
     sys = System.hubbard_1d(4, 2, 2, u=4.0)
     from pynqs_tpu.ops.integrals import decompress_h2e

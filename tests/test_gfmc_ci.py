@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 import oracle
@@ -44,6 +45,7 @@ def test_gfmc_exact_trial_gives_exact_energy():
     np.testing.assert_allclose(out["energy"], w[0], atol=1e-8)
 
 
+@pytest.mark.slow
 def test_gfmc_improves_imperfect_trial():
     sys, space, w, v = _system_and_fci()
     # perturbed trial: mix ground state with 1st excited state
@@ -71,6 +73,7 @@ def test_gfmc_improves_imperfect_trial():
     assert abs(e_p8 - w[0]) < abs(e_var - w[0]), (e_p8, e_var, w[0])
 
 
+@pytest.mark.slow
 def test_ci_pretraining_overlap_and_sample_losses():
     sys, space, w, v = _system_and_fci()
     ci = CIWavefunction(coeffs=v[:, 0], bits=space)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 import oracle
@@ -95,6 +96,7 @@ def test_grid_snake_graph_shapes():
     _check_normalized_and_sampling(model, key=5, n_sample=200_000, tv_tol=0.04)
 
 
+@pytest.mark.slow
 def test_vmc_graph_mps_rnn_reaches_fci():
     sys = System.hubbard_1d(4, 2, 2, u=4.0)
     from pynqs_tpu.ops.integrals import decompress_h2e

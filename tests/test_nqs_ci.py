@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 import oracle
 from pynqs_tpu.ci.nqs_ci import NqsCi, NqsCiConfig
@@ -10,6 +11,7 @@ from pynqs_tpu.utils import System, fci
 from pynqs_tpu.ops.integrals import decompress_h2e
 
 
+@pytest.mark.slow
 def test_nqs_ci_energy_below_ci_alone():
     sys = System.hubbard_1d(4, 2, 2, u=4.0)
     dets = oracle.fci_space(sys.sorb, sys.noa, sys.nob)

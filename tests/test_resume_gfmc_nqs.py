@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 import optax
 
@@ -46,6 +47,7 @@ def test_vmc_checkpoint_resume(tmp_path):
     assert np.mean(hist2[-10:]) < np.mean(hist1[-10:]) + 1e-6
 
 
+@pytest.mark.slow
 def test_gfmc_improves_trained_nqs():
     sys, model, sampler, e0 = _setup()
     vmc = VMC(

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 import oracle
@@ -65,6 +66,7 @@ def test_decoder_kv_cache_step_matches_full_forward():
         prev = vals[:, k]
 
 
+@pytest.mark.slow
 def test_vmc_decoder_with_sr_exact_sampling():
     sys = System.hubbard_1d(3, 2, 1, u=4.0)
     from pynqs_tpu.ops.integrals import decompress_h2e

@@ -70,6 +70,7 @@ def test_eloc_of_exact_ground_state_is_eigenvalue():
     np.testing.assert_allclose(np.asarray(eloc[:, 1]), 0.0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_vmc_exact_optimization_reaches_fci():
     import optax
 
@@ -90,6 +91,7 @@ def test_vmc_exact_optimization_reaches_fci():
     assert err_mha < 0.1, f"VMC exact-opt error {err_mha:.3f} mHa vs FCI {e0:.6f}"
 
 
+@pytest.mark.slow
 def test_mcmc_sampler_unbiased_at_converged_params():
     """The Metropolis measure must reproduce ⟨ψ|H|ψ⟩ at fixed ψ."""
     import optax
@@ -120,6 +122,7 @@ def test_mcmc_sampler_unbiased_at_converged_params():
     assert abs(e_mcmc - e0) * 1000 < 1.0, f"MCMC bias {e_mcmc} vs {e0}"
 
 
+@pytest.mark.slow
 def test_vmc_mcmc_optimization_close_to_fci():
     import optax
 
