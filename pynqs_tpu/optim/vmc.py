@@ -46,6 +46,11 @@ class VMCConfig:
     # full n_sample (one extra compile at the switch).
     start_n_sample: int | None = None
     ramp_iter: int = 0
+    # capture a jax.profiler trace of iterations [2, 2+profile_iters)
+    # into profile_dir (reference: torch.profiler scopes + per-phase
+    # wall-time logs, SURVEY.md §5 tracing)
+    profile_dir: str | None = None
+    profile_iters: int = 3
 
 
 class VMC:
@@ -130,6 +135,8 @@ class VMC:
                 )
             e, grads, var = energy_and_grad(self.model, params, bits, w, eloc)
             e_re = e[0]
+            # effective sample size (probability weights): diagnostics
+            n_eff = 1.0 / jnp.maximum((w**2).sum(), 1e-300)
             if self.cfg.use_sr:
                 from pynqs_tpu.grad.sr import sr_gradient
 
@@ -143,7 +150,7 @@ class VMC:
             # sample counts, which reads as E = 0.0 (not NaN) — surface
             # it as an explicit flag for the host loop
             w_sum = jax.lax.stop_gradient(w.sum())
-            return params, opt_state, chain_state, e_re, var, w_sum
+            return params, opt_state, chain_state, e_re, var, w_sum, n_eff
 
         return step
 
@@ -266,9 +273,17 @@ class VMC:
             use = ramp_fn if (ramp_fn is not None and it < self.cfg.ramp_iter) else step_fn
             key, k = jax.random.split(key)
             t0 = time.perf_counter()
-            params, opt_state, chain_state, e, var, w_sum = use(
+            if self.cfg.profile_dir is not None and it == 2:
+                jax.profiler.start_trace(self.cfg.profile_dir)
+            params, opt_state, chain_state, e, var, w_sum, n_eff = use(
                 params, opt_state, k, chain_state
             )
+            if (
+                self.cfg.profile_dir is not None
+                and it == 2 + self.cfg.profile_iters - 1
+            ):
+                jax.block_until_ready(e)
+                jax.profiler.stop_trace()
             e_tot = float(e) + ecore
             dt = time.perf_counter() - t0
             if (not (e_tot == e_tot)) or float(w_sum) <= 0.0:
@@ -292,11 +307,15 @@ class VMC:
                     if e_ref is not None
                     else ""
                 )
+                se = (float(var) / max(float(n_eff), 1.0)) ** 0.5
                 log.info(
-                    f"iter {it:5d}  E = {e_tot:.8f} Ha  σ² = {float(var):.3e}"
-                    f"  t = {dt:.3f}s{extra}"
+                    f"iter {it:5d}  E = {e_tot:.8f} ± {se:.2e} Ha  "
+                    f"σ² = {float(var):.3e}  t = {dt:.3f}s{extra}"
                 )
-                log.record(iter=it, energy=e_tot, var=float(var), iter_time=dt)
+                log.record(
+                    iter=it, energy=e_tot, var=float(var), se=se,
+                    n_eff=float(n_eff), iter_time=dt,
+                )
             if (
                 self.cfg.checkpoint_path is not None
                 and (it + 1) % self.cfg.checkpoint_interval == 0
