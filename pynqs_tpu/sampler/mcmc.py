@@ -30,6 +30,10 @@ class MCMCSampler:
     n_chain: int = 1024
     n_sweep: int = 32  # Metropolis steps between returned sample sets
     therm: int = 256  # extra steps on the first call
+    # probability of composing a second exchange into the proposal
+    # (double excitations — improves mixing when H couples mainly
+    # through doubles; both single and composed moves are symmetric)
+    p_double: float = 0.25
 
     def init_state(self, key: jax.Array) -> jax.Array:
         """Chains start at random (noa, nob) determinants: random
@@ -82,8 +86,12 @@ class MCMCSampler:
 
         def step(carry, k):
             b, lp = carry
-            kp, ka = jax.random.split(k)
+            kp, kp2, kd, ka = jax.random.split(k, 4)
             nb = self._propose(b, kp)
+            if self.p_double > 0:
+                nb2 = self._propose(nb, kp2)
+                dbl = jax.random.bernoulli(kd, self.p_double, (b.shape[0],))
+                nb = jnp.where(dbl[:, None], nb2, nb)
             nlp = model.log_psi(params, nb)  # [nc, 2] pair
             # acceptance |psi_new/psi_old|^2, symmetric proposal
             log_ratio = 2 * (nlp[..., 0] - lp[..., 0])
