@@ -13,11 +13,6 @@ from __future__ import annotations
 import argparse
 import os
 
-# must be set before jax import: f64 models need x64 on CPU (the f32
-# SR solve at damping 1e-3 is numerically singular)
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    os.environ.setdefault("JAX_ENABLE_X64", "1")
-
 import numpy as np
 
 
@@ -40,6 +35,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # NOTE: a site plugin may pin the platform regardless of the
+    # JAX_PLATFORMS env var — force it via config.  CPU gets x64 (the
+    # f32 SR solve at damping 1e-3 is numerically singular).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     import optax
 
     from pynqs_tpu.models import GraphMPSRNN, RBM, RNNWavefunction
@@ -67,14 +69,15 @@ def main():
             optimizer=optax.sgd(5e-2), log_every=25,
         )
     elif args.stage == 3:
-        sys = System.hubbard_1d(6, 3, 3, u=4.0)
+        sys = System.hubbard_1d(4, 2, 2, u=4.0)
         model = DecoderWavefunction(
-            sys.sorb, sys.noa, sys.nob, n_layer=2, n_head=4, d_model=32
+            sys.sorb, sys.noa, sys.nob, n_layer=1, n_head=2, d_model=16
         )
-        sampler = ARSampler(sys.sorb, sys.noa, sys.nob, n_sample=1 << 15, capacity=400)
+        sampler = ARSampler(sys.sorb, sys.noa, sys.nob, n_sample=1 << 14, capacity=36)
         cfg = VMCConfig(
-            n_iter=args.iters, optimizer=optax.adamw(2e-3),
-            eloc_method="reduce", eloc_k_det=64, eloc_n_stoch=32,
+            n_iter=args.iters, use_sr=True, sr_damping=1e-3,
+            optimizer=optax.sgd(5e-3),
+            eloc_method="reduce", eloc_k_det=32, eloc_n_stoch=12,
             log_every=25,
         )
     elif args.stage == 4:
