@@ -10,10 +10,12 @@ Integrals: the reference molecule file `fe2s2-OO.pth` if present
 (reference energy −116.6056 Ha), else exits.
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
-import os
 
 import numpy as np
 

@@ -8,10 +8,12 @@ Stage 4: 2D Hubbard + Graph-MPS-RNN (snake)  (config 4 analog)
 Run:  python examples/hubbard_ladder.py [--stage N]
 """
 
-from __future__ import annotations
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
-import os
 
 import numpy as np
 
@@ -69,16 +71,14 @@ def main():
             optimizer=optax.sgd(5e-2), log_every=25,
         )
     elif args.stage == 3:
-        sys = System.hubbard_1d(4, 2, 2, u=4.0)
+        sys = System.hubbard_1d(3, 2, 1, u=4.0)
         model = DecoderWavefunction(
             sys.sorb, sys.noa, sys.nob, n_layer=1, n_head=2, d_model=16
         )
-        sampler = ARSampler(sys.sorb, sys.noa, sys.nob, n_sample=1 << 14, capacity=36)
+        sampler = ARSampler(sys.sorb, sys.noa, sys.nob, n_sample=1 << 13, capacity=9)
         cfg = VMCConfig(
             n_iter=args.iters, use_sr=True, sr_damping=1e-3,
-            optimizer=optax.sgd(5e-3),
-            eloc_method="reduce", eloc_k_det=32, eloc_n_stoch=12,
-            log_every=25,
+            optimizer=optax.sgd(5e-2), log_every=25,
         )
     elif args.stage == 4:
         hc, eri = hubbard_2d(3, 2, u=4.0)

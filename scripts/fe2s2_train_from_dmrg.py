@@ -7,6 +7,11 @@ alone measures -116.5865 Ha (+19.1 mHa); training should close part
 of that gap.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 

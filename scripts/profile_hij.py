@@ -1,5 +1,10 @@
 """TPU profile of the fused Slater-Condon kernel + eloc (Fe2S2)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 from functools import partial
 

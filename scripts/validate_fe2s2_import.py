@@ -5,6 +5,11 @@ A faithful import should give E ≈ the DMRG dcut=20 energy, close to
 the reference e_lst = -116.6056 Ha (FCI-quality).  Run on TPU (f32).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
