@@ -75,7 +75,7 @@ class CITrain:
             from pynqs_tpu.ops import lut as lut_mod
             from pynqs_tpu.sampler.ar import ar_sampling
 
-            logc = jnp.log(jnp.maximum(jnp.abs(self._c), 1e-300))
+            logc = jnp.log(jnp.maximum(jnp.abs(self._c), 1e-30))
             phc = jnp.where(self._c < 0, jnp.pi, 0.0)
             ci_lut = lut_mod.WavefunctionLUT.build(
                 self._bits, jnp.stack([logc, phc], -1)
@@ -106,7 +106,7 @@ class CITrain:
                     o_im = jnp.where(alive[:, 0], o_im, 0.0)
                     num = (w @ o_re) ** 2 + (w @ o_im) ** 2
                     den = (w * (o_re**2 + o_im**2)).sum()
-                    return 1.0 - num / jnp.maximum(den, 1e-300)
+                    return 1.0 - num / jnp.maximum(den, 1e-30)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = self.tx.update(grads, opt_state, params)

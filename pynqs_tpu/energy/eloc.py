@@ -125,7 +125,7 @@ def local_energy_reduce(
             jnp.arange(b)[:, None], top_idx
         ].set(0.0)
         s_tail = resid.sum(-1)  # [b]
-        logits = jnp.log(jnp.maximum(resid, 1e-300))
+        logits = jnp.log(jnp.maximum(resid, 1e-30))
         draw = jax.random.categorical(
             k, logits[:, None, :], axis=-1, shape=(b, n_stoch)
         )  # [b, n_stoch]

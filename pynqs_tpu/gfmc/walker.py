@@ -43,7 +43,7 @@ def ci_trial_log_psi(ci):
     from pynqs_tpu.ops.lut import WavefunctionLUT
 
     c = jnp.asarray(ci.coeffs, dtype=jnp.float64)
-    logabs = jnp.log(jnp.maximum(jnp.abs(c), 1e-300))
+    logabs = jnp.log(jnp.maximum(jnp.abs(c), 1e-30))
     ph = jnp.where(c < 0, jnp.pi, 0.0)
     lut = WavefunctionLUT.build(
         jnp.asarray(ci.bits), jnp.stack([logabs, ph], -1)
@@ -115,7 +115,7 @@ class GFMC:
 
             # transition: stay with g_diag, move m with g_off[m]
             logits = jnp.log(
-                jnp.maximum(jnp.concatenate([g_diag[:, None], g_off], -1), 1e-300)
+                jnp.maximum(jnp.concatenate([g_diag[:, None], g_off], -1), 1e-30)
             )
             key, k1 = jax.random.split(key)
             choice = jax.random.categorical(k1, logits, axis=-1)  # [W]

@@ -260,7 +260,7 @@ class GraphMPSRNN:
             )
         eta = jax.nn.softplus(params["eta"][t])[None]  # positive metric
         w = (eta * (ht_re**2 + ht_im**2)).sum(-1)  # [B, 4]
-        logw = jnp.log(jnp.maximum(w, 1e-300))
+        logw = jnp.log(jnp.maximum(w, 1e-30))
         return ht_re, ht_im, logw
 
     def _phase_site(self, params, t: int, x, h_re, h_im):
@@ -294,13 +294,13 @@ class GraphMPSRNN:
             nrm = jax.lax.rsqrt(
                 jnp.maximum(
                     (ht_re**2 + ht_im**2).mean((-2, -1), keepdims=False),
-                    1e-300,
+                    1e-30,
                 )
             )[:, None]
         else:
             nrm = jax.lax.rsqrt(
                 jnp.maximum(
-                    (sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-300
+                    (sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-30
                 )
             )
         return sel_re * nrm, sel_im * nrm

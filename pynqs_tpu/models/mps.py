@@ -77,7 +77,7 @@ class MPSWavefunction:
                 "bd,bde->be", v_im, At_re
             )
             mag = jnp.sqrt(
-                jnp.maximum((n_re**2 + n_im**2).sum(-1, keepdims=True), 1e-300)
+                jnp.maximum((n_re**2 + n_im**2).sum(-1, keepdims=True), 1e-30)
             )
             log_norm = log_norm + jnp.log(mag[:, 0])
             v_re, v_im = n_re / mag, n_im / mag
@@ -86,7 +86,7 @@ class MPSWavefunction:
         z_im = v_im @ params["r"]
         from pynqs_tpu.ops.cplx import safe_atan2
 
-        la = log_norm + 0.5 * jnp.log(jnp.maximum(z_re**2 + z_im**2, 1e-300))
+        la = log_norm + 0.5 * jnp.log(jnp.maximum(z_re**2 + z_im**2, 1e-30))
         ph = safe_atan2(z_im, z_re)
         out = cplx.make(la, ph)
         return out[0] if squeeze else out

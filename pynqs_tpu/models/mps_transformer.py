@@ -100,7 +100,7 @@ class MPSDecoder:
             "bd,bxde->bxe", v_im, A_re
         )
         w = (c_re**2 + c_im**2).sum(-1)
-        return c_re, c_im, jnp.log(jnp.maximum(w, 1e-300))
+        return c_re, c_im, jnp.log(jnp.maximum(w, 1e-30))
 
     @staticmethod
     def _select_norm(c_re, c_im, x):
@@ -108,7 +108,7 @@ class MPSDecoder:
         sel_re = jnp.einsum("bx,bxd->bd", oh, c_re)
         sel_im = jnp.einsum("bx,bxd->bd", oh, c_im)
         nrm = jax.lax.rsqrt(
-            jnp.maximum((sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-300)
+            jnp.maximum((sel_re**2 + sel_im**2).sum(-1, keepdims=True), 1e-30)
         )
         return sel_re * nrm, sel_im * nrm
 

@@ -76,7 +76,7 @@ def add_exp(lp1, lp2, c1=1.0, c2=1.0):
     im = r1 * jnp.sin(lp1[..., 1]) + r2 * jnp.sin(lp2[..., 1])
     mag2 = re**2 + im**2
     return make(
-        m + 0.5 * jnp.log(jnp.maximum(mag2, 1e-300)), safe_atan2(im, re)
+        m + 0.5 * jnp.log(jnp.maximum(mag2, 1e-30)), safe_atan2(im, re)
     )
 
 
@@ -136,7 +136,7 @@ def log2cos_pair(x, y):
 def log2tanh_pair(x, y):
     """(log|2tanh(x+iy)|, arg) via tanh z = (tanh x + i tan y)/(1 + i tanh x tan y)."""
     tx, ty = jnp.tanh(x), jnp.tan(y)
-    num_l = 0.5 * jnp.log(jnp.maximum(tx**2 + ty**2, 1e-300))
+    num_l = 0.5 * jnp.log(jnp.maximum(tx**2 + ty**2, 1e-30))
     num_p = jnp.arctan2(ty, tx)
     den_l = 0.5 * jnp.log1p((tx * ty) ** 2)
     den_p = jnp.arctan2(tx * ty, jnp.ones_like(tx))

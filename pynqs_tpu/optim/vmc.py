@@ -136,7 +136,7 @@ class VMC:
             e, grads, var = energy_and_grad(self.model, params, bits, w, eloc)
             e_re = e[0]
             # effective sample size (probability weights): diagnostics
-            n_eff = 1.0 / jnp.maximum((w**2).sum(), 1e-300)
+            n_eff = 1.0 / jnp.maximum((w**2).sum(), 1e-30)
             if self.cfg.use_sr:
                 from pynqs_tpu.grad.sr import sr_gradient
 

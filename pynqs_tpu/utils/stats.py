@@ -39,7 +39,7 @@ def weighted_stats(values, weights, n_sample: float | None = None):
     v = jnp.where(alive, values, 0.0)
     mean = (weights * v).sum()
     var = (weights * jnp.abs(v - mean) ** 2).sum()
-    n_eff = 1.0 / jnp.maximum((weights**2).sum(), 1e-300)
+    n_eff = 1.0 / jnp.maximum((weights**2).sum(), 1e-30)
     n = n_sample if n_sample is not None else n_eff
     se = jnp.sqrt(var / jnp.maximum(n, 1.0))
     return mean, var, se, n_eff
