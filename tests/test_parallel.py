@@ -49,6 +49,24 @@ def test_vmc_with_sharded_ar_sampler(mesh):
     assert np.isfinite(hist).all()
 
 
+def test_sharded_ar_sampling_deterministic(mesh):
+    """Same key -> bitwise-identical sharded samples (the reference's
+    same-tree seed contract, vmc/sample.py:122-131, made trivial by
+    counter-based jax.random)."""
+    model = RNNWavefunction(8, 2, 2, hidden=8, phase_hidden=8)
+    params = model.init(jax.random.PRNGKey(0))
+    outs = []
+    for _ in range(2):
+        with mesh:
+            bits, counts, _ = ar_sampling_sharded(
+                model, params, jax.random.PRNGKey(5), 50_000,
+                capacity=256, mesh=mesh, tree_height=2,
+            )
+        outs.append((np.asarray(bits), np.asarray(counts)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
 def test_sharded_ar_sampling_disjoint_and_unbiased(mesh):
     sorb, noa, nob = 8, 2, 2
     model = RNNWavefunction(sorb, noa, nob, hidden=16, phase_hidden=8)
