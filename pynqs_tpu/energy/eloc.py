@@ -39,6 +39,20 @@ __all__ = [
 ]
 
 
+def _pad_rows(n: int, batch: int, *arrays):
+    """Pad leading axis to the next multiple of ``batch`` by repeating
+    row 0 (any valid determinant — padded results are sliced off), so
+    arbitrary sample counts chunk cleanly (reference split_batch_idx,
+    utils/public_function.py)."""
+    pad = (-n) % batch
+    if pad == 0:
+        return arrays
+    return tuple(
+        jnp.concatenate([a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+        for a in arrays
+    )
+
+
 def local_energy_simple(
     log_psi_fn: Callable[[jax.Array], jax.Array],
     bits: jax.Array,
@@ -72,10 +86,9 @@ def local_energy_simple(
     nb = bits.shape[0]
     if batch is None or batch >= nb:
         return chunk_eloc(bits)
-    if nb % batch != 0:
-        raise ValueError(f"eloc batch {batch} must divide sample count {nb}")
-    chunks = bits.reshape(nb // batch, batch, bits.shape[-1])
-    return jax.lax.map(chunk_eloc, chunks).reshape(nb, 2)
+    (bits,) = _pad_rows(nb, batch, bits)
+    chunks = bits.reshape(-1, batch, bits.shape[-1])
+    return jax.lax.map(chunk_eloc, chunks).reshape(-1, 2)[:nb]
 
 
 def local_energy_reduce(
@@ -158,11 +171,10 @@ def local_energy_reduce(
     nb = bits.shape[0]
     if batch is None or batch >= nb:
         return chunk_eloc((bits, key))
-    if nb % batch != 0:
-        raise ValueError(f"eloc batch {batch} must divide sample count {nb}")
-    chunks = bits.reshape(nb // batch, batch, bits.shape[-1])
-    keys = jax.random.split(key, nb // batch)
-    return jax.lax.map(chunk_eloc, (chunks, keys)).reshape(nb, 2)
+    (bits,) = _pad_rows(nb, batch, bits)
+    chunks = bits.reshape(-1, batch, bits.shape[-1])
+    keys = jax.random.split(key, chunks.shape[0])
+    return jax.lax.map(chunk_eloc, (chunks, keys)).reshape(-1, 2)[:nb]
 
 
 def local_energy_sample_space(
@@ -212,11 +224,10 @@ def local_energy_sample_space(
     nb = bits.shape[0]
     if batch is None or batch >= nb:
         return chunk_eloc((bits, log_psi))
-    if nb % batch != 0:
-        raise ValueError(f"eloc batch {batch} must divide sample count {nb}")
-    chunks = bits.reshape(nb // batch, batch, bits.shape[-1])
-    lps = log_psi.reshape(nb // batch, batch, 2)
-    return jax.lax.map(chunk_eloc, (chunks, lps)).reshape(nb, 2)
+    bits, log_psi = _pad_rows(nb, batch, bits, log_psi)
+    chunks = bits.reshape(-1, batch, bits.shape[-1])
+    lps = log_psi.reshape(-1, batch, 2)
+    return jax.lax.map(chunk_eloc, (chunks, lps)).reshape(-1, 2)[:nb]
 
 
 def make_local_energy(

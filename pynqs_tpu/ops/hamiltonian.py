@@ -39,12 +39,18 @@ __all__ = [
     "hij_dense",
 ]
 
+# Physics matmuls must not run at the TPU default (single-pass bf16)
+# matmul precision: the integral values truncate to 8-bit mantissas,
+# ~1e-3 relative error on every matrix element.  Pin full precision on
+# every matmul whose non-one-hot operand carries integral data.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def hij_diagonal(bits: jax.Array, diag1: jax.Array, K: jax.Array) -> jax.Array:
     """<n|H|n> for a batch. bits [B, sorb] -> [B]."""
     occ = bits.astype(K.dtype)
-    e1 = occ @ diag1
-    e2 = 0.5 * jnp.einsum("...p,pq,...q->...", occ, K, occ)
+    e1 = jnp.einsum("...p,p->...", occ, diag1, precision=_HI)
+    e2 = 0.5 * jnp.einsum("...p,pq,...q->...", occ, K, occ, precision=_HI)
     return e1 + e2
 
 
@@ -107,7 +113,10 @@ def comb_hij(
 
     # ---- singles: one MXU matmul + gather ----
     # S_full[b, p*sorb+q] = h1e[p,q] + sum_k occ_k <pk||qk>
-    s_full = occ @ J + h1e.reshape(-1)[None, :]  # [B, sorb*sorb]
+    s_full = (
+        jnp.einsum("bp,pq->bq", occ, J, precision=_HI)
+        + h1e.reshape(-1)[None, :]
+    )  # [B, sorb*sorb]
     orb_s = orbs[:, :ns, :]  # [B, ns, 4]
     i_s = orb_s[..., 0]
     a_s = orb_s[..., 1]
@@ -145,9 +154,9 @@ def comb_hij(
         lo_v = jnp.minimum(v1, v2)
         pv = hi_v * (hi_v - 1) // 2 + lo_v  # [B, n_v]
         Pv = jax.nn.one_hot(pv, npair, dtype=dtype)  # [B, n_v, npair]
-        T = jnp.einsum("bvp,pq->bvq", Pv, hpair)  # [B, n_v, npair]
+        T = jnp.einsum("bvp,pq->bvq", Pv, hpair, precision=_HI)
         Po = jax.nn.one_hot(po, npair, dtype=dtype)  # [B, n_u, npair]
-        W = jnp.einsum("bup,bvp->buv", Po, T)  # [B, n_u, n_v]
+        W = jnp.einsum("bup,bvp->buv", Po, T, precision=_HI)  # [B, n_u, n_v]
         uv = jnp.asarray(
             table.u_of_k.astype(np.int64) * table.vpairs.shape[0]
             + table.v_of_k

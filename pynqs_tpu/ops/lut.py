@@ -36,6 +36,12 @@ __all__ = [
     "WavefunctionLUT",
 ]
 
+# The one-hot key/value matmuls must be exact: the 16-bit key halves
+# (values up to 65535) are NOT representable in bf16, so the TPU
+# default single-pass-bf16 matmul precision would silently turn real
+# hits into misses.  Pin full precision.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _flip_sign_bit(w: jax.Array) -> jax.Array:
     """uint32 -> order-preserving int32 (lax.sort has no uint compare on all paths)."""
@@ -167,7 +173,7 @@ def lut_search_mxu(
     flat = jnp.concatenate(
         [t_lo.reshape(nb, -1), t_hi.reshape(nb, -1)], axis=-1
     )  # [nb, 2*bucket*nw]
-    cand = oh @ flat  # [Q, 2*bucket*nw]
+    cand = jnp.einsum("qb,bf->qf", oh, flat, precision=_HI)
     c_lo = cand[:, : bucket * nw].reshape(-1, bucket, nw)
     c_hi = cand[:, bucket * nw :].reshape(-1, bucket, nw)
     q_lo = (q & jnp.uint32(0xFFFF)).astype(jnp.float32)
@@ -215,7 +221,7 @@ def lut_lookup_mxu(
     flat = jnp.concatenate(
         [t_lo.reshape(nb, -1), t_hi.reshape(nb, -1)], axis=-1
     )
-    cand = oh @ flat
+    cand = jnp.einsum("qb,bf->qf", oh, flat, precision=_HI)
     c_lo = cand[:, : bucket * nw].reshape(-1, bucket, nw)
     c_hi = cand[:, bucket * nw :].reshape(-1, bucket, nw)
     q_lo = (q & jnp.uint32(0xFFFF)).astype(jnp.float32)
@@ -223,7 +229,9 @@ def lut_lookup_mxu(
     eq = ((c_lo == q_lo[:, None, :]) & (c_hi == q_hi[:, None, :])).all(-1)
     found = eq.any(-1)
     # value selection in the values' own dtype (f64 on CPU stays exact)
-    cand_vals = (oh.astype(vtab.dtype) @ vtab).reshape(-1, bucket, vdim)
+    cand_vals = jnp.einsum(
+        "qb,bf->qf", oh.astype(vtab.dtype), vtab, precision=_HI
+    ).reshape(-1, bucket, vdim)
     sel = (eq.astype(vtab.dtype)[:, :, None] * cand_vals).sum(1)
     out = jnp.where(found[:, None], sel, fill)
     return out, found

@@ -245,6 +245,14 @@ class VMC:
                 params = self.model.init(k_init)
             opt_state = self.tx.init(params)
         chain_state = self.sampler.init_state(k_init)
+        # MCMC thermalization: extra burn-in sweeps once, before the
+        # optimization loop (reference therm_step, vmc/sample.py:446)
+        therm = int(getattr(self.sampler, "therm", 0) or 0)
+        if chain_state is not None and therm > 0:
+            key, k_th = jax.random.split(key)
+            chain_state = self.sampler.run(
+                self.model, params, k_th, chain_state, therm
+            )[0]
         if chain_state is not None and self._batch_sharding is not None:
             chain_state = jax.device_put(chain_state, self._batch_sharding)
         ecore = self.system.ecore

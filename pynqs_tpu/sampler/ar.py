@@ -46,12 +46,22 @@ def multinomial_partition(key: jax.Array, n: jax.Array, logp: jax.Array):
     """
     ncat = logp.shape[-1]
     p = jnp.exp(logp)
+    # suffix mass strictly after category c: when it is zero (the
+    # remaining categories are all symmetry-masked), the conditional is
+    # forced to exactly 1 so no count leaks into a p=0 category via
+    # f32 rounding of p_c / rem_p (the unconditional `out.append(rem_n)`
+    # tail then receives 0 for masked final categories).
+    tail = jnp.cumsum(p[..., ::-1], axis=-1)[..., ::-1]  # tail[c] = sum p[c:]
+    after = jnp.concatenate(
+        [tail[..., 1:], jnp.zeros_like(tail[..., :1])], axis=-1
+    )  # after[c] = sum p[c+1:]
     out = []
     rem_n = n.astype(jnp.float32)
     rem_p = jnp.ones_like(p[..., 0])
     for c in range(ncat - 1):
         key, kc = jax.random.split(key)
         cond = jnp.clip(p[..., c] / jnp.maximum(rem_p, 1e-30), 0.0, 1.0)
+        cond = jnp.where(after[..., c] <= 0, 1.0, cond)
         draw = jax.random.binomial(kc, rem_n, cond)
         draw = jnp.where(rem_n > 0, draw, 0.0)
         out.append(draw)

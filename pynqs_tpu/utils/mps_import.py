@@ -64,7 +64,9 @@ def load_focus_mpsrnn(path: str, model):
     import torch
     import jax
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    from pynqs_tpu.utils.torch_io import safe_torch_load
+
+    sd = safe_torch_load(path)
     if "model" in sd:
         sd = sd["model"]
     sd = _strip(sd)

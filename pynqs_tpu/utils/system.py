@@ -132,7 +132,9 @@ class System:
         """
         import torch
 
-        d = torch.load(path, map_location="cpu", weights_only=False)
+        from pynqs_tpu.utils.torch_io import safe_torch_load
+
+        d = safe_torch_load(path)
         e_ref = None
         if d.get("e_lst"):
             e_ref = float(np.asarray(d["e_lst"]).ravel()[0])
