@@ -51,6 +51,13 @@ class VMCConfig:
     # wall-time logs, SURVEY.md §5 tracing)
     profile_dir: str | None = None
     profile_iters: int = 3
+    # use the Pallas fused teacher-forced forward (ops/fused_rnn) for
+    # the gradient-free eloc ratio evaluations when the model supports
+    # it.  None = auto: on for TPU backends, off on CPU (where the
+    # kernel would run interpreted).  The [B] sampled rows that need
+    # gradients always keep the XLA forward.
+    fused_forward: bool | None = None
+    fused_matmul_dtype: str = "bf16"  # "bf16" | "f32"
 
 
 class VMC:
@@ -90,6 +97,34 @@ class VMC:
 
         self._step = self._build_step(self.sampler)
 
+    def _eloc_forward(self, params):
+        """log ψ closure for the (gradient-free) eloc ratio forwards."""
+        use = self.cfg.fused_forward
+        if use is None:
+            use = jax.default_backend() not in ("cpu",)
+        if use:
+            from pynqs_tpu.ops.fused_rnn import (
+                fused_forward_available,
+                graph_mpsrnn_logpsi_fused,
+            )
+
+            if fused_forward_available(self.model):
+                import jax.numpy as _jnp
+
+                dt = (
+                    _jnp.float32
+                    if self.cfg.fused_matmul_dtype == "f32"
+                    else _jnp.bfloat16
+                )
+                return partial(
+                    graph_mpsrnn_logpsi_fused,
+                    self.model,
+                    params,
+                    matmul_dtype=dt,
+                    interpret=jax.default_backend() == "cpu",
+                )
+        return partial(self.model.log_psi, params)
+
     def _build_step(self, sampler):
         @jax.jit
         def step(params, opt_state, key, chain_state):
@@ -114,7 +149,7 @@ class VMC:
 
                 _, k_e = jax.random.split(key)
                 eloc = local_energy_reduce(
-                    partial(self.model.log_psi, params),
+                    self._eloc_forward(params),
                     bits,
                     self._ops,
                     self._table,
@@ -126,7 +161,7 @@ class VMC:
                 )
             else:
                 eloc = local_energy_simple(
-                    partial(self.model.log_psi, params),
+                    self._eloc_forward(params),
                     bits,
                     self._ops,
                     self._table,

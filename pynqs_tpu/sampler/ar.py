@@ -24,6 +24,7 @@ tests/test_ar_sampling.py against exact enumeration).
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +34,12 @@ from pynqs_tpu.sampler.symmetry import (
     mask_two_site,
 )
 
-__all__ = ["multinomial_partition", "ar_sampling", "ar_sampling_sharded"]
+__all__ = [
+    "multinomial_partition",
+    "ar_sampling",
+    "ar_sampling_sharded",
+    "ar_sampling_slabbed",
+]
 
 
 def multinomial_partition(key: jax.Array, n: jax.Array, logp: jax.Array):
@@ -213,6 +219,66 @@ def _ar_steps(
         prev = val
 
     return bits, counts, used_a, used_b, prev, carry
+
+
+def ar_sampling_slabbed(
+    model,
+    params,
+    key: jax.Array,
+    n_sample: int,
+    *,
+    capacity: int,
+    n_slab: int,
+    exclude_sorted_keys=None,
+    dedup: bool = True,
+):
+    """Fixed-capacity AR sampling without the capacity ceiling.
+
+    The reference removes its unique-sample memory ceiling with
+    depth-first frontier chunking (decoder.py:622-721 `forward_dfs`,
+    graph_mpsrnn.py:1237-1310 `min_batch`); the static-shape TPU
+    equivalent used here relies on multinomial additivity instead:
+    independent slabs Multinomial(n_s, |ψ|²) with Σ n_s = n_sample sum
+    to EXACTLY Multinomial(n_sample, |ψ|²), so running ``n_slab``
+    independent capacity-C trees (one `lax.scan` — the tree compiles
+    once) and merging counts over identical determinants reproduces the
+    exact sampling law with an effective capacity of n_slab × C.
+    Per-slab truncation is the only residual bias, and each slab holds
+    only n_sample/n_slab draws, whose tail-unique count is ~n_slab×
+    smaller (head determinants repeat across slabs and merge).
+
+    Returns (bits [n_slab*capacity, sorb], counts, dropped); with
+    ``dedup`` (default) rows are unique (tail zero-padded), otherwise
+    the raw slab concatenation (duplicates across slabs carry separate
+    counts — estimators weighted by counts remain exact either way).
+    """
+    base = n_sample // n_slab
+    ns = np.full(n_slab, base, np.int32)
+    ns[: n_sample - base * n_slab] += 1
+
+    def body(_, xs):
+        k, n_s = xs
+        bits, counts, _dropped = ar_sampling(
+            model, params, k, n_s, capacity=capacity,
+            exclude_sorted_keys=exclude_sorted_keys,
+        )
+        return None, (bits, counts)
+
+    keys = jax.random.split(key, n_slab)
+    _, (bits, counts) = jax.lax.scan(body, None, (keys, jnp.asarray(ns)))
+    sorb = model.sorb
+    bits = bits.reshape(n_slab * capacity, sorb)
+    counts = counts.reshape(n_slab * capacity)
+    if dedup:
+        from pynqs_tpu.ops import lut as _lut
+        from pynqs_tpu.ops import onv as _onv
+
+        uniq, counts, _n_unique = _lut.unique_onv(
+            _onv.pack_bits(bits), counts
+        )
+        bits = _onv.unpack_bits(uniq, sorb).astype(jnp.int8)
+    dropped = n_sample - counts.sum()
+    return bits, counts, dropped
 
 
 def ar_sampling_sharded(

@@ -1,0 +1,77 @@
+"""Pallas fused Graph-MPS-RNN forward vs the XLA forward (interpret
+mode on CPU; the same kernel runs compiled on TPU).
+
+Oracle: models/graph_mps_rnn.log_psi — itself validated against the
+independent second-quantization oracle through the Fe2S2 DMRG import
+(scripts/validate_fe2s2_import.py) and the eloc identity tests.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN, grid_snake_graph
+from pynqs_tpu.ops.fused_rnn import (
+    fused_forward_available,
+    graph_mpsrnn_logpsi_fused,
+)
+from pynqs_tpu.utils import fci
+
+
+def _check(model, params, bits, tol=1e-5):
+    ref = np.asarray(model.log_psi(params, bits))
+    out = np.asarray(
+        graph_mpsrnn_logpsi_fused(
+            model, params, bits, interpret=True, matmul_dtype=jnp.float32
+        )
+    )
+    np.testing.assert_allclose(out[:, 0], ref[:, 0], atol=tol, rtol=0)
+    # phases compared on the unit circle (mod 2π)
+    d = np.abs(np.exp(1j * out[:, 1]) - np.exp(1j * ref[:, 1]))
+    assert d.max() < 10 * tol, d.max()
+
+
+@pytest.mark.parametrize("phase_mode", ["arg", "linear"])
+@pytest.mark.parametrize("norm_mode", ["mpsrnn", "unit"])
+def test_fused_matches_xla_chain(phase_mode, norm_mode):
+    model = GraphMPSRNN(
+        12, 3, 3, dcut=10, dtype=jnp.float32,
+        phase_mode=phase_mode, norm_mode=norm_mode,
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    bits = jnp.asarray(fci.fci_bits(12, 3, 3))[:333]  # non-multiple of TB
+    assert fused_forward_available(model)
+    _check(model, params, bits)
+
+
+def test_fused_matches_xla_dag():
+    model = GraphMPSRNN(
+        12, 3, 3, dcut=8, dtype=jnp.float32, graph=grid_snake_graph(3, 2),
+        phase_mode="arg", norm_mode="mpsrnn",
+    )
+    params = model.init(jax.random.PRNGKey(2))
+    bits = jnp.asarray(fci.fci_bits(12, 3, 3))[:100]
+    _check(model, params, bits)
+
+
+def test_fused_zero_phase_readout_sites():
+    """DMRG imports zero every site's phase readout but the last —
+    z = 0 must contribute phase 0 (atan2(0,0) = 0), not poison the
+    unit-product accumulation (the round-2 Fe2S2 +389 mHa bug)."""
+    model = GraphMPSRNN(
+        12, 3, 3, dcut=6, dtype=jnp.float32,
+        phase_mode="arg", norm_mode="mpsrnn",
+    )
+    params = dict(model.init(jax.random.PRNGKey(3)))
+    for k in ("w_arg_re", "w_arg_im", "c_arg_re", "c_arg_im"):
+        params[k] = params[k].at[:-1].set(0.0)
+    bits = jnp.asarray(fci.fci_bits(12, 3, 3))[:64]
+    _check(model, params, bits)
+
+
+def test_fused_unavailable_for_tensor_coupling():
+    model = GraphMPSRNN(
+        12, 3, 3, dcut=6, graph=grid_snake_graph(3, 2), use_tensor=True
+    )
+    assert not fused_forward_available(model)

@@ -1,0 +1,105 @@
+"""Round-2 sampling machinery: slabbed AR trees + the stratified
+inverse-CDF tail sampler.
+
+Oracles: exact enumeration of |ψ|² over the sector (slabbed law /
+capacity bias) and exact categorical probabilities (CDF sampler).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pynqs_tpu.energy.eloc import _sample_tail_cdf
+from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+from pynqs_tpu.sampler.ar import ar_sampling, ar_sampling_slabbed
+from pynqs_tpu.utils import fci
+
+
+def test_cdf_tail_sampler_marginals():
+    w = jnp.asarray(np.random.default_rng(0).random((3, 300)) ** 4)
+    counts = np.zeros((3, 300))
+    for i in range(200):
+        idx = np.asarray(_sample_tail_cdf(jax.random.PRNGKey(i), w, 64))
+        assert idx.min() >= 0 and idx.max() < 300
+        for r in range(3):
+            np.add.at(counts[r], idx[r], 1)
+    emp = counts / counts.sum(1, keepdims=True)
+    ref = np.asarray(w / w.sum(1, keepdims=True))
+    assert np.abs(emp - ref).max() < 8e-3
+
+
+def test_cdf_tail_sampler_skips_zero_weight():
+    # zero-weight entries must never be drawn
+    w = np.ones((2, 200))
+    w[:, ::2] = 0.0
+    idx = np.asarray(
+        _sample_tail_cdf(jax.random.PRNGKey(1), jnp.asarray(w), 512)
+    )
+    assert (idx % 2 == 1).all()
+
+
+def _tv(model, params, space, p, bits, counts):
+    eq = (np.asarray(bits)[:, None, :] == np.asarray(space)[None, :, :]).all(
+        -1
+    )
+    idx = eq.argmax(1)
+    live = np.asarray(counts) > 0
+    emp = np.zeros(space.shape[0])
+    np.add.at(emp, idx[live], np.asarray(counts)[live])
+    emp /= max(emp.sum(), 1)
+    return 0.5 * np.abs(emp - p).sum()
+
+
+def test_slabbed_sampling_reduces_capacity_bias():
+    """VERDICT round-1 weak #6: quantify the truncation bias when
+    capacity binds, and show the slabbed multi-tree scheme shrinks it
+    (Multinomial(n1,p)+Multinomial(n2,p) = Multinomial(n1+n2,p))."""
+    sorb, noa, nob = 12, 3, 3
+    model = GraphMPSRNN(sorb, noa, nob, dcut=8)
+    params = model.init(jax.random.PRNGKey(3))
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    lp = np.asarray(model.log_psi(params, space))
+    p = np.exp(2 * lp[:, 0])
+    p /= p.sum()
+
+    n_sample = 100_000
+    b1, c1, d1 = ar_sampling(
+        model, params, jax.random.PRNGKey(0), n_sample, capacity=64
+    )
+    b8, c8, d8 = ar_sampling_slabbed(
+        model, params, jax.random.PRNGKey(0), n_sample, capacity=64, n_slab=8
+    )
+    tv1 = _tv(model, params, space, p, b1, c1)
+    tv8 = _tv(model, params, space, p, b8, c8)
+    assert tv8 < tv1
+    assert int(d8) <= int(d1)
+    # dedup: live rows unique, counts conserved
+    live = np.asarray(c8) > 0
+    rows = np.asarray(b8)[live]
+    assert len(np.unique(rows, axis=0)) == live.sum()
+    assert int(np.asarray(c8).sum()) + int(d8) == n_sample
+    # particle numbers preserved on every live row
+    assert (rows[:, 0::2].sum(1) == noa).all()
+    assert (rows[:, 1::2].sum(1) == nob).all()
+
+
+def test_slabbed_equals_single_when_capacity_ample():
+    """With no truncation anywhere both schemes sample the same law
+    (not the same draws); compare via total-variation to exact."""
+    sorb, noa, nob = 8, 2, 2
+    model = GraphMPSRNN(sorb, noa, nob, dcut=6)
+    params = model.init(jax.random.PRNGKey(5))
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    lp = np.asarray(model.log_psi(params, space))
+    p = np.exp(2 * lp[:, 0])
+    p /= p.sum()
+    n = 200_000
+    _, c1, d1 = ar_sampling(
+        model, params, jax.random.PRNGKey(1), n, capacity=64
+    )
+    b4, c4, d4 = ar_sampling_slabbed(
+        model, params, jax.random.PRNGKey(1), n, capacity=64, n_slab=4
+    )
+    assert int(d1) == 0 and int(d4) == 0
+    tv = _tv(model, params, space, p, b4, c4)
+    assert tv < 0.01, tv
