@@ -65,6 +65,18 @@ class DecoderWavefunction:
     phase_hidden: int = 64
     dtype: jnp.dtype = jnp.float64
     sites_per_step: int = 2
+    # amplitude parametrization from the per-block head logits x
+    # (reference NORM_METHOD, decoder.py:41 + vmc/ansatz/utils.py:194-238):
+    #   "softmax-log":  P = softmax(x);            ψ_cond = sqrt(P)
+    #   "norm":         a = x/‖x‖₂ (signed);       P = a², ψ_cond = a
+    #   "norm-abs":     a = |x|/‖|x|‖₂;            P = a², ψ_cond = a
+    #   "softmax-sign": P = softmax(x);            ψ_cond = sign(x)·sqrt(P)
+    # Sampling always draws from P with the symmetry mask renormalized
+    # per step (masking commutes with both softmax and L2
+    # normalization), so sampled counts match |ψ|² for every method —
+    # the reference's softmax-sign draws counts ∝ softmax² instead
+    # (decoder.py:405), an inconsistency we do not reproduce.
+    norm_method: str = "softmax-log"
 
     @property
     def n_blocks(self) -> int:
@@ -135,8 +147,31 @@ class DecoderWavefunction:
             h = h + _dense(blk["fc2"], jax.nn.gelu(_dense(blk["fc"], x)))
         return _ln(params["lnf"], h)
 
-    def _cond_logp(self, params, bits: jax.Array) -> jax.Array:
-        """Masked normalized conditional log-probs [B, n_blocks, 4]."""
+    def _raw_cond_logp(self, logits: jax.Array):
+        """(log P over the 4 block values, sign phase 0/π) per method —
+        BEFORE symmetry masking (masking + renormalization commute with
+        both softmax and L2 normalization, so the generic AR driver's
+        apply_mask_logp finishes the job)."""
+        if self.norm_method in ("softmax-log", "softmax-sign"):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            if self.norm_method == "softmax-sign":
+                ph = jnp.where(logits > 0, 0.0, jnp.pi)
+            else:
+                ph = jnp.zeros_like(logits)
+            return logp, ph
+        if self.norm_method in ("norm", "norm-abs"):
+            y = jnp.abs(logits) if self.norm_method == "norm-abs" else logits
+            logp = 2.0 * jnp.log(jnp.maximum(jnp.abs(y), 1e-30))
+            if self.norm_method == "norm":
+                ph = jnp.where(y < 0, jnp.pi, 0.0)
+            else:
+                ph = jnp.zeros_like(logits)
+            return logp, ph
+        raise ValueError(f"unknown norm_method {self.norm_method!r}")
+
+    def _cond_logp(self, params, bits: jax.Array):
+        """Masked normalized conditional log-probs [B, n_blocks, 4]
+        plus the per-value sign phase (0/π) for the signed methods."""
         B = bits.shape[0]
         nb = self.n_blocks
         vals = (bits[:, 0::2] + 2 * bits[:, 1::2]).astype(jnp.int32)  # [B, nb]
@@ -144,7 +179,7 @@ class DecoderWavefunction:
             [jnp.full((B, 1), 4, jnp.int32), vals[:, :-1]], axis=1
         )
         logits = self._logits_full(params, tokens)
-        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp, ph = self._raw_cond_logp(logits)
 
         cum_a = jnp.cumsum(bits[:, 0::2], -1)
         cum_b = jnp.cumsum(bits[:, 1::2], -1)
@@ -155,14 +190,14 @@ class DecoderWavefunction:
         mask = mask_two_site(
             used_a, used_b, self.noa, self.nob, rem[None, :], rem[None, :]
         )  # [B, nb, 4] via broadcast of per-step remaining
-        return apply_mask_logp(logp, mask)
+        return apply_mask_logp(logp, mask), ph
 
     def log_psi(self, params, bits: jax.Array) -> jax.Array:
         bits = bits.astype(jnp.int32)
         squeeze = bits.ndim == 1
         if squeeze:
             bits = bits[None]
-        logp = self._cond_logp(params, bits)
+        logp, ph_sign = self._cond_logp(params, bits)
         vals = (bits[:, 0::2] + 2 * bits[:, 1::2]).astype(jnp.int32)
         voh = jax.nn.one_hot(vals, 4, dtype=logp.dtype)
         picked = (logp * voh).sum(-1)  # one-hot select
@@ -171,6 +206,7 @@ class DecoderWavefunction:
         phase = (
             _dense(params["ph2"], jnp.tanh(_dense(params["ph1"], spins)))[..., 0]
             + params["global_phase"]
+            + (ph_sign * voh).sum(-1).sum(-1)  # signed-amplitude methods
         )
         from pynqs_tpu.ops import cplx
 
@@ -194,7 +230,7 @@ class DecoderWavefunction:
 
     def ar_step(self, params, carry, k: int, prev: jax.Array):
         h, carry = self._hidden_step(params, carry, k, prev)
-        logp = jax.nn.log_softmax(_dense(params["head"], h), axis=-1)
+        logp, _ph = self._raw_cond_logp(_dense(params["head"], h))
         return logp, carry
 
     def _hidden_step(self, params, carry, k: int, prev: jax.Array):

@@ -90,3 +90,62 @@ def test_vmc_decoder_with_sr_exact_sampling():
     _, hist = vmc.run(jax.random.PRNGKey(4))
     err_mha = abs(np.mean(hist[-20:]) - e0) * 1000
     assert err_mha < 5.0, f"decoder+SR error {err_mha:.3f} mHa vs {e0:.6f}"
+
+
+@pytest.mark.parametrize("nm", ["norm", "norm-abs", "softmax-sign"])
+def test_decoder_norm_methods_normalized_and_match_sampling(nm):
+    """Each amplitude parametrization (reference NORM_METHOD,
+    decoder.py:41) must give a normalized |psi|^2 over the sector and
+    sampled frequencies that follow it."""
+    sorb, noa, nob = 8, 2, 2
+    model = DecoderWavefunction(
+        sorb, noa, nob, n_layer=1, n_head=2, d_model=16, norm_method=nm
+    )
+    params = model.init(jax.random.PRNGKey(3))
+    space = fci.fci_bits(sorb, noa, nob)
+    lp = model.log_psi(params, jnp.asarray(space))
+    p = np.exp(2 * np.asarray(lp[..., 0]))
+    assert abs(p.sum() - 1.0) < 1e-9, p.sum()
+
+    n_sample = 300_000
+    bits, counts, dropped = ar_sampling(
+        model, params, jax.random.PRNGKey(5), n_sample,
+        capacity=space.shape[0],
+    )
+    assert int(dropped) == 0
+    counts = np.asarray(counts)
+    freq = {}
+    for row, c in zip(np.asarray(bits), counts):
+        if c:
+            freq[tuple(row.tolist())] = c / n_sample
+    tv = sum(
+        abs(freq.get(tuple(r.tolist()), 0.0) - pi) for r, pi in zip(space, p)
+    )
+    assert tv < 0.02, f"total variation {tv} for {nm}"
+
+
+def test_decoder_signed_methods_carry_sign_in_phase():
+    """'norm' and 'softmax-sign' fold logits signs into the phase —
+    psi must be real-negative where the product of signed conditionals
+    is negative (phase net zeroed)."""
+    sorb, noa, nob = 8, 2, 2
+    model = DecoderWavefunction(
+        sorb, noa, nob, n_layer=1, n_head=2, d_model=16, norm_method="norm"
+    )
+    params = dict(model.init(jax.random.PRNGKey(4)))
+    params["ph1"] = {
+        "w": jnp.zeros_like(params["ph1"]["w"]),
+        "b": jnp.zeros_like(params["ph1"]["b"]),
+    }
+    params["ph2"] = {
+        "w": jnp.zeros_like(params["ph2"]["w"]),
+        "b": jnp.zeros_like(params["ph2"]["b"]),
+    }
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    lp = np.asarray(model.log_psi(params, space))
+    # phases must all be multiples of pi (real wavefunction)
+    frac = np.abs(np.sin(lp[:, 1]))
+    assert frac.max() < 1e-6
+    # and some must actually be negative for a generic init
+    signs = np.cos(lp[:, 1])
+    assert (signs < 0).any() and (signs > 0).any()
