@@ -12,8 +12,18 @@ outputs, and — unlike the reference, which raises under DDP
 (vmc/optim/optimizer.py:174) — the weighted moment accumulations are
 plain reductions that GSPMD shards across the device mesh for free.
 
-Dense solve: O(P²) memory — same dense-inverse scope as the reference;
-min-SR/kernel trick is future work for big models.
+Two solvers:
+
+* :func:`sr_gradient` — dense [P, P] solve (same scope as the
+  reference's vmc/grad/sr.py:87-117, which additionally raises under
+  DDP; ours shards).
+* :func:`sr_gradient_cg` — matrix-free min-SR for large parameter
+  counts: S·v is evaluated with ONE jvp + ONE vjp through log ψ per
+  conjugate-gradient iteration, so neither S [P, P] nor the per-sample
+  Jacobian O [B, P] is ever materialized (at Fe2S2 dcut=96 O alone
+  would be 24 GB).  This is the TPU answer to the reference's min-SR
+  plan — matvecs instead of the (N_s × N_s) kernel matrix, so it also
+  has no N_s² memory and shards over the batch via GSPMD.
 """
 
 from __future__ import annotations
@@ -22,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["sr_gradient"]
+__all__ = ["sr_gradient", "sr_gradient_cg"]
 
 
 def sr_gradient(
@@ -75,3 +85,82 @@ def sr_gradient(
     A = S + damping * jnp.eye(p, dtype=S.dtype)
     dtheta = jax.scipy.linalg.solve(A, F, assume_a="pos")
     return unravel(dtheta)
+
+
+def sr_gradient_cg(
+    model,
+    params,
+    bits: jax.Array,
+    weights: jax.Array,
+    eloc: jax.Array,
+    damping: float = 1e-3,
+    n_cg: int = 50,
+):
+    """Matrix-free SR: solve (Re S + λ)·δθ = 2 Re F by conjugate
+    gradients with jvp/vjp matvecs (see module docstring).
+
+    With the centering m_c = Σ_n w_n O[n, c, :] and Σ_n w_n = 1:
+
+        S v = Σ_c [ O_cᵀ (w ∘ (O_c v)) − m_c (m_cᵀ v) ]
+
+    where O_c v comes from ONE jvp (both channels at once) and the
+    transpose applications from ONE vjp.
+    """
+    weights = jax.lax.stop_gradient(weights)
+    eloc = jax.lax.stop_gradient(eloc)
+    alive = weights > 0
+    eloc = jnp.where(alive[:, None], eloc, 0.0)
+    e_mean = weights @ eloc
+    cen = jnp.where(alive[:, None], eloc - e_mean, 0.0)  # [B, 2]
+
+    def f(p):
+        lp = model.log_psi(p, bits)  # [B, 2]
+        return jnp.where(alive[:, None], lp, 0.0)
+
+    _, vjp_fn = jax.vjp(f, params)
+
+    # channel means m_c as pytrees (two vjps, computed once)
+    w2 = weights[:, None]
+    zeros = jnp.zeros_like(weights)
+    m0 = vjp_fn(jnp.stack([weights, zeros], -1))[0]
+    m1 = vjp_fn(jnp.stack([zeros, weights], -1))[0]
+
+    def matvec(v):
+        _, t = jax.jvp(f, (params,), (v,))  # [B, 2] = O v per channel
+        t = jnp.where(alive[:, None], t, 0.0)
+        back = vjp_fn(w2 * t)[0]  # Σ_c O_cᵀ (w ∘ t_c)
+        mv0 = (weights * t[:, 0]).sum()  # m_0ᵀ v
+        mv1 = (weights * t[:, 1]).sum()
+        return jax.tree.map(
+            lambda b, a0, a1, vv: b - mv0 * a0 - mv1 * a1 + damping * vv,
+            back, m0, m1, v,
+        )
+
+    # rhs: F = Σ_c O_cᵀ (2 w ∘ cen_c)  (centering term vanishes since
+    # Σ_n w_n cen_n = 0)
+    F = vjp_fn(2.0 * w2 * cen)[0]
+
+    # plain CG from zero, fixed iteration count (static under jit)
+    def dot(a, b):
+        return sum(
+            jnp.vdot(x, y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    x0 = jax.tree.map(jnp.zeros_like, F)
+    r0 = F
+    p0 = F
+    rs0 = dot(r0, r0)
+
+    def body(_, carry):
+        x, r, p, rs = carry
+        Ap = matvec(p)
+        alpha = rs / jnp.maximum(dot(p, Ap), 1e-30)
+        x = jax.tree.map(lambda a, b: a + alpha * b, x, p)
+        r = jax.tree.map(lambda a, b: a - alpha * b, r, Ap)
+        rs_new = dot(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = jax.tree.map(lambda a, b: a + beta * b, r, p)
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_cg, body, (x0, r0, p0, rs0))
+    return x

@@ -37,6 +37,8 @@ class VMCConfig:
     log_every: int = 25
     use_sr: bool = False  # stochastic reconfiguration preconditioning
     sr_damping: float = 1e-3
+    sr_solver: str = "dense"  # "dense" [P,P] | "cg" matrix-free min-SR
+    sr_n_cg: int = 50
     checkpoint_path: str | None = None
     checkpoint_interval: int = 100
     log_path: str | None = None
@@ -173,12 +175,20 @@ class VMC:
             # effective sample size (probability weights): diagnostics
             n_eff = 1.0 / jnp.maximum((w**2).sum(), 1e-30)
             if self.cfg.use_sr:
-                from pynqs_tpu.grad.sr import sr_gradient
+                if self.cfg.sr_solver == "cg":
+                    from pynqs_tpu.grad.sr import sr_gradient_cg
 
-                grads = sr_gradient(
-                    self.model, params, bits, w, eloc,
-                    damping=self.cfg.sr_damping,
-                )
+                    grads = sr_gradient_cg(
+                        self.model, params, bits, w, eloc,
+                        damping=self.cfg.sr_damping, n_cg=self.cfg.sr_n_cg,
+                    )
+                else:
+                    from pynqs_tpu.grad.sr import sr_gradient
+
+                    grads = sr_gradient(
+                        self.model, params, bits, w, eloc,
+                        damping=self.cfg.sr_damping,
+                    )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             # liveness diagnostic: a NaN-poisoned model produces zero

@@ -111,3 +111,27 @@ def test_restricted_sampler_deterministic_measure():
     # deterministic: identical across keys
     _, w2, _, _ = samp.sample(model, params, jax.random.PRNGKey(9))
     np.testing.assert_allclose(np.asarray(w), np.asarray(w2))
+
+
+def test_cg_sr_matches_dense_sr():
+    """Matrix-free min-SR (jvp/vjp matvecs) vs the dense [P,P] solve."""
+    from pynqs_tpu.grad.sr import sr_gradient, sr_gradient_cg
+    from pynqs_tpu.energy.eloc import local_energy_simple as les
+
+    sys = System.hubbard_1d(6, 2, 2, u=4.0)
+    bits = jnp.asarray(fci.fci_bits(sys.sorb, sys.noa, sys.nob))
+    model = RBM(sorb=sys.sorb, alpha=2, param_type="complex")
+    params = model.init(jax.random.PRNGKey(0))
+    lp = model.log_psi(params, bits)
+    w = jnp.exp(2 * (lp[:, 0] - lp[:, 0].max()))
+    w = w / w.sum()
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    eloc = les(partial(model.log_psi, params), bits, ops, sys.excitation)
+    gd = sr_gradient(model, params, bits, w, eloc, damping=1e-2)
+    gc = sr_gradient_cg(
+        model, params, bits, w, eloc, damping=1e-2, n_cg=400
+    )
+    fd, _ = jax.flatten_util.ravel_pytree(gd)
+    fc, _ = jax.flatten_util.ravel_pytree(gc)
+    rel = float(jnp.linalg.norm(fd - fc) / jnp.linalg.norm(fd))
+    assert rel < 1e-6, rel
