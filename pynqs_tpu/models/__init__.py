@@ -8,3 +8,6 @@ from pynqs_tpu.models.graph_mps_rnn import (  # noqa: F401
     grid_snake_graph,
     graph_from_edges,
 )
+from pynqs_tpu.models.ar_rbm import ARRBM  # noqa: F401
+from pynqs_tpu.models.ar_rbm2 import ARRBM2  # noqa: F401
+from pynqs_tpu.models.mps_transformer import MPSDecoder  # noqa: F401

@@ -45,6 +45,19 @@ class MPSDecoder:
     d_model: int = 32
     dtype: jnp.dtype = jnp.float64
     sites_per_step: int = 2
+    # how the transformer hidden state modulates the base MPS site
+    # tensors (reference pmode, mps_transformer.py:39 + get_Decoderwf
+    # :360-397 — re-parametrized TPU-natively, same parameter-count
+    # scaling per mode):
+    #   "element": A ∘ (1 + s), per-(x, column) scale  (reference
+    #              element-wise / default)
+    #   "linear":  A + g[b,x] · Wt[α,β], NN scalar times a learned
+    #              per-block bond matrix (reference pmode="linear")
+    #   "conv":    A + u[b,x,α] ⊗ w[β], NN row vector times a learned
+    #              column vector (separable, reference pmode="conv")
+    #   "spm":     A·(1 + g[b,x]) + h[b,x], scalar-plus-shift
+    #              (reference pmode="spm")
+    pmode: str = "element"
 
     @property
     def n_blocks(self):
@@ -72,6 +85,22 @@ class MPSDecoder:
             * jax.random.normal(k2, (nb, 4, d, d), self.dtype),
             # modulation head: d_model -> [4, dcut] per block (shared)
             "mod": _dense_init(k3, self.d_model, 4 * d, self.dtype, scale=0.01),
+            **(
+                {"Wt": 0.05 / np.sqrt(d)
+                 * jax.random.normal(k3, (nb, d, d), self.dtype),
+                 "mod_g": _dense_init(k3, self.d_model, 4, self.dtype,
+                                      scale=0.01)}
+                if self.pmode == "linear" else {}
+            ),
+            **(
+                {"wc": 0.1 * jax.random.normal(k3, (nb, d), self.dtype)}
+                if self.pmode == "conv" else {}
+            ),
+            **(
+                {"mod_g": _dense_init(k3, self.d_model, 8, self.dtype,
+                                      scale=0.01)}
+                if self.pmode == "spm" else {}
+            ),
             "w_re": 1.0 / np.sqrt(d)
             * jax.random.normal(k4, (nb, d), self.dtype),
             "w_im": jnp.zeros((nb, d), self.dtype),
@@ -90,9 +119,28 @@ class MPSDecoder:
         """
         B = h_gpt.shape[0]
         d = self.dcut
-        s = _dense(params["mod"], h_gpt).reshape(B, 4, 1, d)  # col scaling
-        A_re = params["A_re"][t][None] * (1.0 + s)  # [B, 4, d, d]
-        A_im = params["A_im"][t][None] * (1.0 + s)
+        if self.pmode == "element":
+            s = _dense(params["mod"], h_gpt).reshape(B, 4, 1, d)
+            A_re = params["A_re"][t][None] * (1.0 + s)  # [B, 4, d, d]
+            A_im = params["A_im"][t][None] * (1.0 + s)
+        elif self.pmode == "linear":
+            g = _dense(params["mod_g"], h_gpt).reshape(B, 4, 1, 1)
+            Wt = params["Wt"][t][None, None]  # [1, 1, d, d]
+            A_re = params["A_re"][t][None] + g * Wt
+            A_im = params["A_im"][t][None] + g * Wt
+        elif self.pmode == "conv":
+            u = _dense(params["mod"], h_gpt).reshape(B, 4, d, 1)
+            wc = params["wc"][t][None, None, None, :]  # [1, 1, 1, d]
+            A_re = params["A_re"][t][None] + u * wc
+            A_im = params["A_im"][t][None] + u * wc
+        elif self.pmode == "spm":
+            gh = _dense(params["mod_g"], h_gpt).reshape(B, 8)
+            g = gh[:, :4].reshape(B, 4, 1, 1)
+            hshift = gh[:, 4:].reshape(B, 4, 1, 1)
+            A_re = params["A_re"][t][None] * (1.0 + g) + hshift
+            A_im = params["A_im"][t][None] * (1.0 + g) + hshift
+        else:
+            raise ValueError(f"unknown pmode {self.pmode!r}")
         c_re = jnp.einsum("bd,bxde->bxe", v_re, A_re) - jnp.einsum(
             "bd,bxde->bxe", v_im, A_im
         )

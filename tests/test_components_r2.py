@@ -135,3 +135,32 @@ def test_cg_sr_matches_dense_sr():
     fc, _ = jax.flatten_util.ravel_pytree(gc)
     rel = float(jnp.linalg.norm(fd - fc) / jnp.linalg.norm(fd))
     assert rel < 1e-6, rel
+
+
+def test_ar_rbm2_two_site_conditionals():
+    """2-site AR-RBM (reference ar_rbm.py:307,454): normalized |psi|^2
+    and sampling-forward consistency."""
+    from pynqs_tpu.models.ar_rbm2 import ARRBM2
+    from pynqs_tpu.sampler.ar import ar_sampling
+
+    sorb, noa, nob = 8, 2, 2
+    model = ARRBM2(sorb, noa, nob, nh=12)
+    params = model.init(jax.random.PRNGKey(0))
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    lp = model.log_psi(params, space)
+    p = np.exp(2 * np.asarray(lp[:, 0]))
+    assert abs(p.sum() - 1) < 1e-9
+    bits, counts, dropped = ar_sampling(
+        model, params, jax.random.PRNGKey(5), 300_000,
+        capacity=space.shape[0],
+    )
+    assert int(dropped) == 0
+    freq = {}
+    for row, c in zip(np.asarray(bits), np.asarray(counts)):
+        if c:
+            freq[tuple(row.tolist())] = c / 300_000
+    tv = sum(
+        abs(freq.get(tuple(r.tolist()), 0.0) - pi)
+        for r, pi in zip(np.asarray(space), p)
+    )
+    assert tv < 0.02, tv

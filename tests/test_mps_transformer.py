@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from pynqs_tpu.models.mps_transformer import MPSDecoder
@@ -9,9 +10,11 @@ from pynqs_tpu.sampler.ar import ar_sampling
 from pynqs_tpu.utils import fci
 
 
-def test_mpsdecoder_normalized_and_sampling_matches():
+@pytest.mark.parametrize("pmode", ["element", "linear", "conv", "spm"])
+def test_mpsdecoder_normalized_and_sampling_matches(pmode):
     sorb, noa, nob = 8, 2, 2
-    model = MPSDecoder(sorb, noa, nob, dcut=5, n_layer=1, n_head=2, d_model=16)
+    model = MPSDecoder(sorb, noa, nob, dcut=5, n_layer=1, n_head=2,
+                       d_model=16, pmode=pmode)
     params = model.init(jax.random.PRNGKey(0))
     space = fci.fci_bits(sorb, noa, nob)
     lp = model.log_psi(params, jnp.asarray(space))
