@@ -48,6 +48,12 @@ class VMCConfig:
     # full n_sample (one extra compile at the switch).
     start_n_sample: int | None = None
     ramp_iter: int = 0
+    # 3-sigma adaptive gradient-norm clipping (reference _clip_grad_L2,
+    # vmc/optim/_base.py:357-382): after ``clip_window`` iterations the
+    # effective max-norm is min(clip_grad, mean + 3*std of the last
+    # ``clip_window`` gradient norms).
+    adaptive_clip_3sigma: bool = False
+    clip_window: int = 100
     # capture a jax.profiler trace of iterations [2, 2+profile_iters)
     # into profile_dir (reference: torch.profiler scopes + per-phase
     # wall-time logs, SURVEY.md §5 tracing)
@@ -82,8 +88,8 @@ class VMC:
         tx = self.cfg.optimizer
         if tx is None:
             tx = optax.adam(self.cfg.lr)
-        if self.cfg.clip_grad is not None:
-            tx = optax.chain(optax.clip_by_global_norm(self.cfg.clip_grad), tx)
+        # clipping applied manually in the step (the threshold is a
+        # dynamic input so the 3-sigma adaptation needs no recompile)
         self.tx = tx
         self._ops = system.tables.astuple()
         self._hpair = system.tables.hpair
@@ -129,7 +135,7 @@ class VMC:
 
     def _build_step(self, sampler):
         @jax.jit
-        def step(params, opt_state, key, chain_state):
+        def step(params, opt_state, key, chain_state, clip_val):
             k_s, _ = jax.random.split(key)
             bits, w, _lp, chain_state = sampler.sample(
                 self.model, params, k_s, chain_state
@@ -189,13 +195,17 @@ class VMC:
                         self.model, params, bits, w, eloc,
                         damping=self.cfg.sr_damping,
                     )
+            gnorm = optax.global_norm(grads)
+            if self.cfg.clip_grad is not None:
+                scale = jnp.minimum(1.0, clip_val / jnp.maximum(gnorm, 1e-30))
+                grads = jax.tree.map(lambda g: g * scale, grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             # liveness diagnostic: a NaN-poisoned model produces zero
             # sample counts, which reads as E = 0.0 (not NaN) — surface
             # it as an explicit flag for the host loop
             w_sum = jax.lax.stop_gradient(w.sum())
-            return params, opt_state, chain_state, e_re, var, w_sum, n_eff
+            return params, opt_state, chain_state, e_re, var, w_sum, n_eff, gnorm
 
         return step
 
@@ -219,10 +229,25 @@ class VMC:
         sampler = sampler or self.sampler
         chain = sampler.init_state(key)
         bits, w, _lp, _ = sampler.sample(self.model, params, key, chain)
-        oloc = local_energy_simple(
-            partial(self.model.log_psi, params), bits, ops, self._table,
-            batch=self.cfg.eloc_batch, hpair=hp,
-        )
+        if self.cfg.eloc_method == "reduce":
+            # REDUCE-mode operator expectation (reference recomputes
+            # operators in sample space under REDUCE, vmc/energy/
+            # etot.py:119-140): screened top-k + stochastic tail with
+            # the OPERATOR's matrix elements — avoids the full 1+n_sd
+            # forwards the SIMPLE path pays.
+            from pynqs_tpu.energy.eloc import local_energy_reduce
+
+            oloc = local_energy_reduce(
+                self._eloc_forward(params), bits, ops, self._table,
+                jax.random.fold_in(key, 77),
+                k_det=self.cfg.eloc_k_det, n_stoch=self.cfg.eloc_n_stoch,
+                batch=self.cfg.eloc_batch, hpair=hp,
+            )
+        else:
+            oloc = local_energy_simple(
+                self._eloc_forward(params), bits, ops, self._table,
+                batch=self.cfg.eloc_batch, hpair=hp,
+            )
         return operator_stats(oloc[:, 0], w)
 
     def noise_tune(self, params, key, scale=0.1):
@@ -255,6 +280,7 @@ class VMC:
         state and energy history and continues (reference
         read_checkpoint, _base.py:289-308)."""
         n_iter = n_iter or self.cfg.n_iter
+        self._gnorms: list[float] = []
         k_init, key = jax.random.split(key)
         if resume_from is not None:
             from pynqs_tpu.utils.checkpoint import load_checkpoint
@@ -328,9 +354,19 @@ class VMC:
             t0 = time.perf_counter()
             if self.cfg.profile_dir is not None and it == 2:
                 jax.profiler.start_trace(self.cfg.profile_dir)
-            params, opt_state, chain_state, e, var, w_sum, n_eff = use(
-                params, opt_state, k, chain_state
+            clip_val = self.cfg.clip_grad if self.cfg.clip_grad is not None else 0.0
+            if (
+                self.cfg.adaptive_clip_3sigma
+                and len(self._gnorms) >= self.cfg.clip_window
+            ):
+                import numpy as _np
+
+                recent = _np.asarray(self._gnorms[-self.cfg.clip_window :])
+                clip_val = min(clip_val, float(recent.mean() + 3 * recent.std()))
+            params, opt_state, chain_state, e, var, w_sum, n_eff, gnorm = use(
+                params, opt_state, k, chain_state, jnp.asarray(clip_val, jnp.float32)
             )
+            self._gnorms.append(float(gnorm))
             if (
                 self.cfg.profile_dir is not None
                 and it == 2 + self.cfg.profile_iters - 1

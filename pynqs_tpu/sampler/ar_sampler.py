@@ -37,12 +37,50 @@ class ARSampler:
     # reference's DFS frontier chunking; effective capacity is
     # n_slab × capacity.
     n_slab: int = 1
+    # adaptive n_sample: grow ×10 (re-sampling the whole tree inside a
+    # lax.while_loop — one extra compile, n_sample is a traced scalar)
+    # until at least ``target_unique`` distinct determinants emerge or
+    # n_sample reaches ``max_n_sample`` (reference unique-count growth
+    # loop, vmc/sample.py:571-625).  Counts stay exact up to n ≈ 2^24
+    # (the f32 binomial cascade).
+    target_unique: int | None = None
+    max_n_sample: int | None = None
 
     def init_state(self, key: jax.Array):
         return None
 
+    def _sample_adaptive(self, model, params, key):
+        import jax.numpy as jnp
+
+        max_n = self.max_n_sample or 1000 * self.n_sample
+
+        def draw(k, n):
+            return ar_sampling(
+                model, params, k, n, capacity=self.capacity
+            )[:2]
+
+        def cond(c):
+            n, bits, counts, i = c
+            return ((counts > 0).sum() < self.target_unique) & (
+                n * 10 <= max_n
+            )
+
+        def body(c):
+            n, bits, counts, i = c
+            n = n * 10
+            b2, c2 = draw(jax.random.fold_in(key, 1000 + i), n)
+            return (n, b2, c2, i + 1)
+
+        b0, c0 = draw(key, jnp.int32(self.n_sample))
+        _, bits, counts, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(self.n_sample), b0, c0, 0)
+        )
+        return bits, counts
+
     def sample(self, model, params, key: jax.Array, state=None):
-        if self.mesh is not None:
+        if self.target_unique is not None and self.mesh is None and self.n_slab == 1:
+            bits, counts = self._sample_adaptive(model, params, key)
+        elif self.mesh is not None:
             from pynqs_tpu.sampler.ar import ar_sampling_sharded
 
             if self.n_slab > 1:
