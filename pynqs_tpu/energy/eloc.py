@@ -35,6 +35,7 @@ from pynqs_tpu.ops.hamiltonian import comb_hij
 __all__ = [
     "local_energy_simple",
     "local_energy_simple_dedup",
+    "dedup_eval",
     "local_energy_reduce",
     "local_energy_sample_space",
     "make_local_energy",
@@ -257,40 +258,25 @@ def local_energy_reduce(
     return jax.lax.map(chunk_eloc, (chunks, keys)).reshape(-1, 2)[:nb]
 
 
-def local_energy_simple_dedup(
+def dedup_eval(
     log_psi_fn: Callable[[jax.Array], jax.Array],
-    bits: jax.Array,
-    tables: tuple,
-    table: ExcitationTable,
-    *,
+    flat_bits: jax.Array,
     n_unique_max: int,
-    hpair: jax.Array | None = None,
 ):
-    """SIMPLE local energy with connected-space deduplication.
+    """Evaluate log ψ once per UNIQUE row of flat_bits [N, sorb].
 
-    The reference's ``Func`` evaluation (vmc/energy/flip.py:29-63):
-    the [B, 1+n_sd] connected determinants of different samples overlap
-    heavily, so ψ is evaluated ONCE per unique determinant and
-    scattered back, instead of B·(1+n_sd) times.  TPU shape: sort the
-    packed ONV keys (payload = flat position), mark segment starts,
-    compact the ≤ ``n_unique_max`` unique rows with a second sort, run
-    one forward, then unsort by position (a third sort) — all static
-    shapes, no dynamic unique.
-
-    Returns (eloc [B, 2], n_unique scalar).  If n_unique exceeds
-    ``n_unique_max`` the result is WRONG for the overflowed keys —
-    check the returned n_unique (kept explicit rather than silently
-    growing: static shapes are the XLA contract).
+    TPU shape (no dynamic unique): sort the packed ONV keys (payload =
+    flat position), mark segment starts, compact the ≤ ``n_unique_max``
+    first-occurrence rows with a second sort, run ONE forward, then
+    unsort by position (a third sort).  Returns (lp [N, 2], n_unique);
+    if n_unique exceeds n_unique_max the overflowed keys get the wrong
+    values — check the returned count (static shapes are the XLA
+    contract, no silent growth).
     """
     from pynqs_tpu.ops import lut as _lut
 
-    h1e, h2e, diag1, K, J = tables
-    comb, hij = comb_hij(
-        bits, h1e, h2e, diag1, K, J, hpair, table=table, with_comb=True
-    )
-    b, m, sorb = comb.shape
-    N = b * m
-    packed = _onv_mod.pack_bits(comb.reshape(N, sorb))  # [N, nw]
+    N, sorb = flat_bits.shape
+    packed = _onv_mod.pack_bits(flat_bits)  # [N, nw]
     nw = packed.shape[-1]
     sorted_keys, pos = _lut.sort_onv(packed, jnp.arange(N, dtype=jnp.int32))
     is_new = jnp.concatenate(
@@ -315,7 +301,34 @@ def local_energy_simple_dedup(
     back = jax.lax.sort(
         (pos, lp_sorted[:, 0], lp_sorted[:, 1]), dimension=0, num_keys=1
     )
-    lp = jnp.stack([back[1], back[2]], axis=-1).reshape(b, m, 2)
+    return jnp.stack([back[1], back[2]], axis=-1), n_unique
+
+
+def local_energy_simple_dedup(
+    log_psi_fn: Callable[[jax.Array], jax.Array],
+    bits: jax.Array,
+    tables: tuple,
+    table: ExcitationTable,
+    *,
+    n_unique_max: int,
+    hpair: jax.Array | None = None,
+):
+    """SIMPLE local energy with connected-space deduplication.
+
+    The reference's ``Func`` evaluation (vmc/energy/flip.py:29-63):
+    the [B, 1+n_sd] connected determinants of different samples overlap
+    heavily, so ψ is evaluated ONCE per unique determinant (see
+    :func:`dedup_eval`).  Returns (eloc [B, 2], n_unique).
+    """
+    h1e, h2e, diag1, K, J = tables
+    comb, hij = comb_hij(
+        bits, h1e, h2e, diag1, K, J, hpair, table=table, with_comb=True
+    )
+    b, m, sorb = comb.shape
+    lp, n_unique = dedup_eval(
+        log_psi_fn, comb.reshape(b * m, sorb), n_unique_max
+    )
+    lp = lp.reshape(b, m, 2)
     r_re, r_im = cplx.ratio_re_im(lp, lp[:, :1])
     h = hij.astype(r_re.dtype)
     eloc = jnp.stack([(h * r_re).sum(-1), (h * r_im).sum(-1)], -1)

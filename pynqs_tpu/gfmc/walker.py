@@ -66,18 +66,39 @@ class GFMCConfig:
     gamma: float = 0.0  # sign-cure partial inclusion
     branch_interval: int = 10
     seed: int = 0
+    # evaluate the trial once per UNIQUE connected determinant
+    # (reference walker-dedup, gfmc/walker.py:237-259 + Func
+    # flip.py:29-63): walkers concentrate on few determinants after
+    # branching, so the [W, 1+n_sd] trial block repeats heavily.
+    # 0 = off; otherwise the static unique-row budget.
+    dedup_unique_max: int = 0
+    # Λ − e_fn must stay positive for every walker (weights are Green
+    # normalizations) — abort like the reference's cooperative
+    # destroy_all_rank (walker.py:522-523) instead of silently carrying
+    # negative weights.
+    check_lambda: bool = True
 
 
 class GFMC:
     """trial_log_psi: callable bits [B, sorb] -> (log|ψ_T|, arg) pairs."""
 
-    def __init__(self, trial_log_psi, system, config: GFMCConfig | None = None):
+    def __init__(
+        self, trial_log_psi, system, config: GFMCConfig | None = None,
+        mesh=None,
+    ):
         self.trial = trial_log_psi
         self.system = system
         self.cfg = config or GFMCConfig()
+        self.mesh = mesh
         self._ops = system.tables.astuple()
         self._hpair = system.tables.hpair
         self._table = system.excitation
+        if mesh is not None:
+            from pynqs_tpu.parallel.mesh import batch_sharding
+
+            self._wsh = batch_sharding(mesh)
+        else:
+            self._wsh = None
 
         cfg = self.cfg
         h1e, h2e, diag1, K, J = self._ops
@@ -85,12 +106,23 @@ class GFMC:
 
         @jax.jit
         def iteration(walkers, weights, key):
+            if self._wsh is not None:
+                walkers = jax.lax.with_sharding_constraint(walkers, self._wsh)
             comb, hij = comb_hij(
                 walkers, h1e, h2e, diag1, K, J, hpair, table=self._table,
                 with_comb=True,
             )
             W, M, sorb = comb.shape
-            lp = self.trial(comb.reshape(W * M, sorb)).reshape(W, M, 2)
+            if cfg.dedup_unique_max:
+                from pynqs_tpu.energy.eloc import dedup_eval
+
+                lp, _nu = dedup_eval(
+                    self.trial, comb.reshape(W * M, sorb),
+                    cfg.dedup_unique_max,
+                )
+                lp = lp.reshape(W, M, 2)
+            else:
+                lp = self.trial(comb.reshape(W * M, sorb)).reshape(W, M, 2)
             # signed real amplitude ratios under the similarity transform
             d0 = lp[..., 0] - lp[:, :1, 0]
             d1 = lp[..., 1] - lp[:, :1, 1]
@@ -163,9 +195,18 @@ class GFMC:
         factors = jnp.ones((max(cfg.p_steps, 1), W))
         energies = []
         ecore = self.system.ecore
+        if self._wsh is not None:
+            walkers = jax.device_put(walkers, self._wsh)
+            weights = jax.device_put(weights, self._wsh)
         for it in range(n_iter):
             key, k = jax.random.split(key)
             walkers, weights, e_loc, b, _ = self._iteration(walkers, weights, k)
+            if self.cfg.check_lambda and float(b.min()) <= 0.0:
+                raise FloatingPointError(
+                    f"GFMC iteration {it}: Λ − e_fn ≤ 0 for some walker "
+                    f"(min b = {float(b.min()):.3e}) — raise tau_lambda "
+                    "(reference aborts all ranks here, walker.py:522)"
+                )
             factors = jnp.concatenate(
                 [factors[1:], (b / b.mean())[None, :]], axis=0
             )

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--lr-end", type=float, default=1e-5)
     ap.add_argument("--from-ckpt", type=str, default=None)
+    ap.add_argument("--sr", action="store_true", help="CG min-SR + SGD")
+    ap.add_argument("--sr-damping", type=float, default=1e-3)
+    ap.add_argument("--n-cg", type=int, default=50)
+    ap.add_argument("--tag", type=str, default="")
     args = ap.parse_args()
 
     import jax
@@ -78,17 +82,22 @@ def main():
     sched = optax.exponential_decay(
         args.lr, args.iters, args.lr_end / args.lr
     )
+    tag = f"dcut{args.stage}{args.tag}"
     cfg = VMCConfig(
         n_iter=args.iters,
-        optimizer=optax.adamw(sched),
+        optimizer=optax.sgd(sched) if args.sr else optax.adamw(sched),
+        use_sr=args.sr,
+        sr_solver="cg",
+        sr_damping=args.sr_damping,
+        sr_n_cg=args.n_cg,
         clip_grad=0.1,
         eloc_method="reduce",
         eloc_k_det=512,
         eloc_n_stoch=128,
         log_every=50,
-        log_path=os.path.join(REPO, f"logs/fe2s2_r2_dcut{args.stage}.log"),
+        log_path=os.path.join(REPO, f"logs/fe2s2_r2_{tag}.log"),
         checkpoint_path=os.path.join(
-            REPO, f"checkpoints/fe2s2_r2_dcut{args.stage}_resume.pkl"
+            REPO, f"checkpoints/fe2s2_r2_{tag}_resume.pkl"
         ),
         checkpoint_interval=500,
     )
@@ -97,7 +106,7 @@ def main():
     t0 = time.time()
     params, hist = vmc.run(jax.random.PRNGKey(args.stage), params=params)
     dt = time.time() - t0
-    out = os.path.join(REPO, f"checkpoints/fe2s2_r2_dcut{args.stage}.pkl")
+    out = os.path.join(REPO, f"checkpoints/fe2s2_r2_{tag}.pkl")
     save_params(out, jax.tree.map(np.asarray, params))
     tail = np.mean(hist[-400:])
     best = np.min(hist)

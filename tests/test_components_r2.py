@@ -164,3 +164,43 @@ def test_ar_rbm2_two_site_conditionals():
         for r, pi in zip(np.asarray(space), p)
     )
     assert tv < 0.02, tv
+
+
+def test_gfmc_mesh_sharded_with_dedup_matches_local():
+    """Walker-dedup trial evaluation + mesh-sharded branching
+    (reference gfmc/walker.py:237-259, 340-408): identical physics to
+    the single-device no-dedup run, and a variational depth-0 check."""
+    from pynqs_tpu.gfmc.walker import GFMC, GFMCConfig, ci_trial_log_psi
+    from pynqs_tpu.ops.hamiltonian import hij_dense
+    from pynqs_tpu.parallel.mesh import make_mesh
+    from pynqs_tpu.ci.wavefunction import CIWavefunction
+
+    sys = System.hubbard_1d(6, 2, 2, u=4.0)
+    space = fci.fci_bits(sys.sorb, sys.noa, sys.nob)
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    H = np.asarray(hij_dense(jnp.asarray(space), jnp.asarray(space), *ops))
+    w_, v_ = np.linalg.eigh(H)
+    e0 = w_[0]
+    # sign-preserving multiplicative perturbation of the ground state
+    rng = np.random.default_rng(0)
+    c = v_[:, 0] * (1.0 + 0.05 * rng.standard_normal(v_[:, 0].shape))
+    trial = ci_trial_log_psi(CIWavefunction(jnp.asarray(c), space))
+
+    walkers = np.repeat(space, 8, axis=0)[:512]
+    base = GFMC(
+        trial, sys,
+        GFMCConfig(n_iter=40, p_steps=4, branch_interval=10,
+                   dedup_unique_max=0),
+    ).run(walkers, jax.random.PRNGKey(1))
+    fancy = GFMC(
+        trial, sys,
+        GFMCConfig(n_iter=40, p_steps=4, branch_interval=10,
+                   dedup_unique_max=256, check_lambda=True),
+        mesh=make_mesh(8),
+    ).run(walkers, jax.random.PRNGKey(1))
+    # same seeds, same math: dedup + sharding change nothing
+    np.testing.assert_allclose(
+        fancy["energy"], base["energy"], rtol=1e-8, atol=1e-8
+    )
+    e_p = fancy["energy"][-15:, -1].mean()
+    assert abs(e_p - e0) < 0.1, (e_p, e0)
