@@ -85,27 +85,24 @@ def scale(lp, log_c: float = 0.0, phase_c: float = 0.0):
     return make(lp[..., 0] + log_c, lp[..., 1] + phase_c)
 
 
-@jax.custom_vjp
+@jax.custom_jvp
 def safe_atan2(y, x):
-    """atan2 with a magnitude-floored backward pass.
+    """atan2 with a magnitude-floored derivative.
 
-    d atan2/d(x,y) = (−y, x)/(x²+y²) diverges as |z| → 0; one NaN/inf
-    cotangent poisons the whole parameter pytree.  Forward is exact;
-    the backward denominator is floored."""
+    d atan2 = (x·dy − y·dx)/(x²+y²) diverges as |z| → 0; one NaN/inf
+    poisons the whole parameter pytree.  Forward value is exact; the
+    derivative denominator is floored.  Defined through custom_jvp
+    (linear in the tangents) so BOTH forward-mode (the CG-SR matvecs)
+    and reverse-mode (grad transposes the jvp) work."""
     return jnp.arctan2(y, x)
 
 
-def _safe_atan2_fwd(y, x):
-    return jnp.arctan2(y, x), (y, x)
-
-
-def _safe_atan2_bwd(res, g):
-    y, x = res
+@safe_atan2.defjvp
+def _safe_atan2_jvp(primals, tangents):
+    y, x = primals
+    dy, dx = tangents
     m2 = jnp.maximum(x * x + y * y, 1e-12)
-    return (g * x / m2, -g * y / m2)
-
-
-safe_atan2.defvjp(_safe_atan2_fwd, _safe_atan2_bwd)
+    return jnp.arctan2(y, x), (x * dy - y * dx) / m2
 
 
 # ---- stable log(2·f(θ)) for complex θ given as (re, im) pairs ----
