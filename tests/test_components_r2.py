@@ -204,3 +204,60 @@ def test_gfmc_mesh_sharded_with_dedup_matches_local():
     )
     e_p = fancy["energy"][-15:, -1].mean()
     assert abs(e_p - e0) < 0.1, (e_p, e0)
+
+
+def test_exact_mps_raw_chain_on_canonical_tensors():
+    """The raw-chain evaluator must reproduce a brute-force MPS
+    contraction (synthetic tensors, small system)."""
+    from pynqs_tpu.models.mps import MPSWavefunction
+
+    rng = np.random.default_rng(3)
+    norb, d = 4, 3
+    A = rng.standard_normal((norb, 4, d, d)) * 0.5
+    Ai = rng.standard_normal((norb, 4, d, d)) * 0.5
+    l = rng.standard_normal(d)
+    r = rng.standard_normal(d)
+    model = MPSWavefunction(sorb=2 * norb, dcut=d, dtype=jnp.float64)
+    params = {
+        "A_re": jnp.asarray(A), "A_im": jnp.asarray(Ai),
+        "l": jnp.asarray(l), "r": jnp.asarray(r),
+    }
+    bits = fci.fci_bits(2 * norb, 2, 2)[:20]
+    lp = np.asarray(model.log_psi(params, jnp.asarray(bits)))
+    for row, (la, ph) in zip(bits, lp):
+        vals = row[0::2] + 2 * row[1::2]
+        v = l.astype(complex)
+        for t in range(norb):
+            v = v @ (A[t, vals[t]] + 1j * Ai[t, vals[t]])
+        psi = v @ r
+        np.testing.assert_allclose(la, np.log(abs(psi)), atol=1e-9)
+        assert abs(np.exp(1j * ph) - psi / abs(psi)) < 1e-9
+
+
+def test_focus_import_phase_identity_raw_vs_conditional():
+    """The raw chain and the conditional (MPS-RNN) import share h
+    trajectories: phases identical up to a global constant (the
+    amplitude differs by non-canonical gauge - see mps.py docstring)."""
+    from pynqs_tpu.models.mps import exact_mps_from_focus
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.utils.mps_import import load_focus_mpsrnn
+
+    path = "/root/reference/example/Fe2S2/fe2s2-OO-dcut-20-focus-1e-8.pth"
+    mps, mparams = exact_mps_from_focus(path, dtype=jnp.float64)
+    rnn = GraphMPSRNN(
+        mps.sorb, 15, 15, dcut=20, phase_mode="arg", norm_mode="mpsrnn",
+        dtype=jnp.float64,
+    )
+    rparams = load_focus_mpsrnn(path, rnn)
+    rng = np.random.default_rng(0)
+    norb = mps.sorb // 2
+    rows = np.zeros((32, mps.sorb), np.int8)
+    for s, no in ((0, 15), (1, 15)):
+        cols = np.argsort(rng.random((32, norb)), axis=1)[:, :no]
+        rr = np.repeat(np.arange(32), no)
+        rows[rr, 2 * cols.ravel() + s] = 1
+    bits = jnp.asarray(rows)
+    lp_m = np.asarray(mps.log_psi(mparams, bits))
+    lp_r = np.asarray(rnn.log_psi(rparams, bits))
+    dph = np.angle(np.exp(1j * (lp_m[:, 1] - lp_r[:, 1])))
+    assert np.abs(dph - dph.mean()).max() < 1e-8
