@@ -54,6 +54,10 @@ class VMCConfig:
     # ``clip_window`` gradient norms).
     adaptive_clip_3sigma: bool = False
     clip_window: int = 100
+    # DMRG-style freeze-and-sweep (reference FrozeSites,
+    # mps_rnn.py:158): callable iteration -> gradient-mask pytree
+    # (see optim/sweep.site_freeze_mask); None = all trainable.
+    param_mask_fn: object = None
     # capture a jax.profiler trace of iterations [2, 2+profile_iters)
     # into profile_dir (reference: torch.profiler scopes + per-phase
     # wall-time logs, SURVEY.md §5 tracing)
@@ -135,7 +139,7 @@ class VMC:
 
     def _build_step(self, sampler):
         @jax.jit
-        def step(params, opt_state, key, chain_state, clip_val):
+        def step(params, opt_state, key, chain_state, clip_val, gmask):
             k_s, _ = jax.random.split(key)
             bits, w, _lp, chain_state = sampler.sample(
                 self.model, params, k_s, chain_state
@@ -195,6 +199,8 @@ class VMC:
                         self.model, params, bits, w, eloc,
                         damping=self.cfg.sr_damping,
                     )
+            if self.cfg.param_mask_fn is not None:
+                grads = jax.tree.map(lambda g, m: g * m, grads, gmask)
             gnorm = optax.global_norm(grads)
             if self.cfg.clip_grad is not None:
                 scale = jnp.minimum(1.0, clip_val / jnp.maximum(gnorm, 1e-30))
@@ -363,8 +369,14 @@ class VMC:
 
                 recent = _np.asarray(self._gnorms[-self.cfg.clip_window :])
                 clip_val = min(clip_val, float(recent.mean() + 3 * recent.std()))
+            gmask = (
+                self.cfg.param_mask_fn(it)
+                if self.cfg.param_mask_fn is not None
+                else jax.tree.map(lambda _: jnp.ones(()), params)
+            )
             params, opt_state, chain_state, e, var, w_sum, n_eff, gnorm = use(
-                params, opt_state, k, chain_state, jnp.asarray(clip_val, jnp.float32)
+                params, opt_state, k, chain_state,
+                jnp.asarray(clip_val, jnp.float32), gmask,
             )
             self._gnorms.append(float(gnorm))
             if (

@@ -261,3 +261,43 @@ def test_focus_import_phase_identity_raw_vs_conditional():
     lp_r = np.asarray(rnn.log_psi(rparams, bits))
     dph = np.angle(np.exp(1j * (lp_m[:, 1] - lp_r[:, 1])))
     assert np.abs(dph - dph.mean()).max() < 1e-8
+
+
+def test_freeze_and_sweep_masks_gradients_per_site():
+    """FrozeSites freeze-and-sweep (reference mps_rnn.py:158-230):
+    only the active site window's parameters move."""
+    import optax
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.optim.sweep import dmrg_sweep_schedule, site_freeze_mask
+    from pynqs_tpu.optim.vmc import VMC, VMCConfig
+    from pynqs_tpu.sampler import ExactSampler
+
+    sys = System.hubbard_1d(6, 2, 2, u=4.0)
+    model = GraphMPSRNN(sys.sorb, sys.noa, sys.nob, dcut=6)
+    p0 = model.init(jax.random.PRNGKey(0))
+    norb = model.norb
+    vmc = VMC(
+        model, sys, ExactSampler(sys.sorb, sys.noa, sys.nob),
+        VMCConfig(
+            n_iter=5, optimizer=optax.sgd(1e-2),
+            param_mask_fn=lambda it: site_freeze_mask(p0, [1, 2]),
+            log_every=10**6,
+        ),
+    )
+    params, _ = vmc.run(
+        jax.random.PRNGKey(1), params=jax.tree.map(jnp.asarray, p0)
+    )
+    dv = (
+        np.abs(np.asarray(params["v_re"]) - np.asarray(p0["v_re"]))
+        .reshape(norb, -1)
+        .max(1)
+    )
+    assert dv[1] > 0 and dv[2] > 0
+    assert dv[0] == 0 and (dv[3:] == 0).all()
+    # schedule sweeps left->right->left
+    sched = list(
+        __import__("itertools").islice(
+            dmrg_sweep_schedule(4, window=2, iters_per_window=10), 6
+        )
+    )
+    assert sched[0] == (0, [0, 1]) and sched[2][1] == [2, 3]
