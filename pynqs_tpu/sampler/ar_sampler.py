@@ -45,6 +45,15 @@ class ARSampler:
     # (the f32 binomial cascade).
     target_unique: int | None = None
     max_n_sample: int | None = None
+    # mesh mode: "same_tree" (default — devices split ONE branch tree,
+    # disjoint by construction, no merge needed) or "independent" —
+    # every device samples its OWN tree with a distinct key and
+    # n_sample/n_dev draws, and duplicates are merged globally with
+    # unique_onv (the reference's rank-independent sampling +
+    # merge_rank_sample funnel, vmc/sample.py:627-772 + kernel.cu:520,
+    # as one sorted segment-sum inside the jitted program — GSPMD
+    # inserts the cross-device collectives).
+    mesh_mode: str = "same_tree"
 
     def init_state(self, key: jax.Array):
         return None
@@ -77,9 +86,42 @@ class ARSampler:
         )
         return bits, counts
 
+    def _sample_rank_independent(self, model, params, key):
+        """Per-device independent trees + global duplicate merge."""
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from pynqs_tpu.ops import lut as _lut
+        from pynqs_tpu.ops import onv as _onv
+
+        n_dev = self.mesh.shape["dp"]
+        n_local = self.n_sample // n_dev
+
+        def local_fn(params):
+            rank = jax.lax.axis_index("dp")
+            k_l = jax.random.fold_in(key, 31 + rank)
+            bits, counts, _ = ar_sampling(
+                model, params, k_l, n_local, capacity=self.capacity
+            )
+            return bits, counts
+
+        fn = shard_map(
+            local_fn, mesh=self.mesh, in_specs=(P(),),
+            out_specs=(P("dp"), P("dp")), check_rep=False,
+        )
+        bits, counts = fn(params)  # [n_dev*capacity, ...] sharded
+        # global merge of duplicates across devices (sorted segment-sum;
+        # the sort crosses shards via GSPMD collectives)
+        uniq, counts, _n_u = _lut.unique_onv(_onv.pack_bits(bits), counts)
+        bits = _onv.unpack_bits(uniq, model.sorb).astype(jnp.int8)
+        return bits, counts
+
     def sample(self, model, params, key: jax.Array, state=None):
         if self.target_unique is not None and self.mesh is None and self.n_slab == 1:
             bits, counts = self._sample_adaptive(model, params, key)
+        elif self.mesh is not None and self.mesh_mode == "independent":
+            bits, counts = self._sample_rank_independent(model, params, key)
         elif self.mesh is not None:
             from pynqs_tpu.sampler.ar import ar_sampling_sharded
 

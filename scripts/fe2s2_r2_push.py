@@ -35,6 +35,7 @@ def main():
     ap.add_argument("--sr-damping", type=float, default=1e-3)
     ap.add_argument("--n-cg", type=int, default=50)
     ap.add_argument("--tag", type=str, default="")
+    ap.add_argument("--n-slab", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -61,6 +62,8 @@ def main():
     model = make(args.stage)
     if args.from_ckpt:
         params = load_params(args.from_ckpt)
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]  # VMC resume-checkpoint format
         params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
     elif args.stage == 64:
         params = load_params(os.path.join(REPO, "checkpoints/fe2s2_dcut64.pkl"))
@@ -77,7 +80,7 @@ def main():
 
     sampler = ARSampler(
         sys_.sorb, sys_.noa, sys_.nob,
-        n_sample=args.n_sample, capacity=args.capacity,
+        n_sample=args.n_sample, capacity=args.capacity, n_slab=args.n_slab,
     )
     sched = optax.exponential_decay(
         args.lr, args.iters, args.lr_end / args.lr

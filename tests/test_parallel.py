@@ -102,3 +102,42 @@ def test_sharded_ar_sampling_disjoint_and_unbiased(mesh):
         for r, pi in zip(space, p)
     )
     assert tv < 0.02, f"total variation {tv}"
+
+
+def test_rank_independent_sampling_with_global_merge():
+    """ARSampler(mesh_mode='independent'): per-device independent trees
+    with distinct keys, duplicates merged globally via unique_onv (the
+    reference's rank-independent sampling + merge_rank_sample funnel,
+    vmc/sample.py:627-772 + kernel.cu:520)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.parallel.mesh import make_mesh
+    from pynqs_tpu.sampler import ARSampler
+    from pynqs_tpu.utils import fci
+
+    model = GraphMPSRNN(8, 2, 2, dcut=6)
+    params = model.init(jax.random.PRNGKey(3))
+    space = jnp.asarray(fci.fci_bits(8, 2, 2))
+    lp = np.asarray(model.log_psi(params, space))
+    p = np.exp(2 * lp[:, 0])
+    p /= p.sum()
+    mesh = make_mesh(8)
+    samp = ARSampler(
+        8, 2, 2, n_sample=400_000, capacity=64, mesh=mesh,
+        mesh_mode="independent",
+    )
+    with mesh:
+        bits, w, _lp, _ = samp.sample(model, params, jax.random.PRNGKey(7))
+    b = np.asarray(bits)
+    ww = np.asarray(w)
+    live = ww > 0
+    rows = b[live]
+    assert len(np.unique(rows, axis=0)) == live.sum()
+    eq = (rows[:, None, :] == np.asarray(space)[None]).all(-1)
+    idx = eq.argmax(1)
+    emp = np.zeros(space.shape[0])
+    np.add.at(emp, idx, ww[live])
+    tv = 0.5 * np.abs(emp / emp.sum() - p).sum()
+    assert tv < 0.01, tv
