@@ -153,10 +153,15 @@ def comb_hij(
         hi_v = jnp.maximum(v1, v2)
         lo_v = jnp.minimum(v1, v2)
         pv = hi_v * (hi_v - 1) // 2 + lo_v  # [B, n_v]
+        # one-hot × integral-value selections: HIGH (3-pass bf16) is
+        # f32-faithful to ~1e-7 relative — the 2× cheaper sweet spot
+        # (single-pass DEFAULT truncates integrals ~4e-3 relative and
+        # corrupted round-1 energies; 6-pass HIGHEST buys nothing here)
+        _H3 = jax.lax.Precision.HIGH
         Pv = jax.nn.one_hot(pv, npair, dtype=dtype)  # [B, n_v, npair]
-        T = jnp.einsum("bvp,pq->bvq", Pv, hpair, precision=_HI)
+        T = jnp.einsum("bvp,pq->bvq", Pv, hpair, precision=_H3)
         Po = jax.nn.one_hot(po, npair, dtype=dtype)  # [B, n_u, npair]
-        W = jnp.einsum("bup,bvp->buv", Po, T, precision=_HI)  # [B, n_u, n_v]
+        W = jnp.einsum("bup,bvp->buv", Po, T, precision=_H3)  # [B, n_u, n_v]
         uv = jnp.asarray(
             table.u_of_k.astype(np.int64) * table.vpairs.shape[0]
             + table.v_of_k
