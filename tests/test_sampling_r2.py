@@ -103,3 +103,28 @@ def test_slabbed_equals_single_when_capacity_ample():
     assert int(d1) == 0 and int(d4) == 0
     tv = _tv(model, params, space, p, b4, c4)
     assert tv < 0.01, tv
+
+
+def test_vmc_with_slabbed_sampler_runs_and_descends():
+    """The production config path: ARSampler(n_slab>1) inside the
+    jitted VMC step (dedup merge included)."""
+    import optax
+    from pynqs_tpu.optim.vmc import VMC, VMCConfig
+    from pynqs_tpu.sampler import ARSampler
+    from pynqs_tpu.utils import System
+
+    sys = System.hubbard_1d(6, 2, 2, u=4.0)
+    model = GraphMPSRNN(sys.sorb, sys.noa, sys.nob, dcut=8)
+    samp = ARSampler(
+        sys.sorb, sys.noa, sys.nob, n_sample=20_000, capacity=64, n_slab=4
+    )
+    vmc = VMC(
+        model, sys, samp,
+        VMCConfig(
+            n_iter=40, optimizer=optax.adam(2e-2), eloc_method="reduce",
+            eloc_k_det=16, eloc_n_stoch=8, log_every=10**6,
+        ),
+    )
+    params, hist = vmc.run(jax.random.PRNGKey(0))
+    assert np.isfinite(hist).all()
+    assert np.mean(hist[-10:]) < np.mean(hist[:10])
