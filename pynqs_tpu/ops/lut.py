@@ -94,7 +94,6 @@ def unique_onv(packed: jax.Array, counts: jax.Array):
     n_unique = is_new.sum()
     merged = jax.ops.segment_sum(sc, jnp.where(live, seg, n - 1), n)
     # representative rows: first row of each segment
-    first_idx = jnp.where(is_new, jnp.arange(n), n - 1)
     rep = jax.ops.segment_max(
         jnp.where(is_new, jnp.arange(n), 0), jnp.where(is_new, seg, n - 1), n
     )
