@@ -149,3 +149,33 @@ def test_decoder_signed_methods_carry_sign_in_phase():
     # and some must actually be negative for a generic init
     signs = np.cos(lp[:, 1])
     assert (signs < 0).any() and (signs > 0).any()
+
+
+@pytest.mark.parametrize("nm", ["norm", "norm-abs", "softmax-sign"])
+def test_decoder_kv_cache_step_parity_all_norm_methods(nm):
+    """ar_step (KV-cache) conditionals == teacher-forced conditionals
+    for every amplitude norm method."""
+    sorb, noa, nob = 12, 3, 2
+    model = DecoderWavefunction(
+        sorb, noa, nob, n_layer=2, n_head=2, d_model=16, norm_method=nm
+    )
+    params = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    space = fci.fci_bits(sorb, noa, nob)
+    bits = jnp.asarray(space[rng.integers(0, len(space), 5)])
+    vals = (bits[:, 0::2] + 2 * bits[:, 1::2]).astype(jnp.int32)
+    B = bits.shape[0]
+    tokens = jnp.concatenate([jnp.full((B, 1), 4, jnp.int32), vals[:, :-1]], 1)
+    full_logits = model._logits_full(params, tokens)
+    full_logp, _ = model._raw_cond_logp(full_logits)
+
+    carry = model.ar_init(params, B)
+    prev = jnp.zeros((B,), jnp.int32)
+    for k in range(model.n_blocks):
+        logp, carry = model.ar_step(params, carry, k, prev)
+        ref = full_logp[:, k] - jax.scipy.special.logsumexp(
+            full_logp[:, k], -1, keepdims=True
+        )
+        got = logp - jax.scipy.special.logsumexp(logp, -1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-9)
+        prev = vals[:, k]
