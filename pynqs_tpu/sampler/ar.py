@@ -42,15 +42,49 @@ __all__ = [
 ]
 
 
-def multinomial_partition(key: jax.Array, n: jax.Array, logp: jax.Array):
+def _binomial_int(key: jax.Array, n: jax.Array, p: jax.Array, n_parts: int):
+    """Exact Binomial(n, p) for int32 trial counts up to n_parts * 2^23.
+
+    jax.random.binomial carries n in the float dtype of p; above 2^24
+    trials f32 loses integer exactness (silent count corruption — the
+    reference's flagship n_sample=1e7 is within one order of that
+    ceiling).  Binomial additivity over trials —
+    Binomial(n1+n2, p) = Binomial(n1, p) + Binomial(n2, p) independent
+    — lets the draw split into ``n_parts`` exact sub-draws of ≤ n/parts
+    trials each, keeping everything in f32 on backends without f64.
+    """
+    if n_parts <= 1:
+        return jax.random.binomial(key, n.astype(jnp.float32), p).astype(
+            jnp.int32
+        )
+    base = n // n_parts
+    rem = n - base * n_parts
+    keys = jax.random.split(key, n_parts)
+    out = jnp.zeros_like(n)
+    for i in range(n_parts):
+        ni = base + (i < rem).astype(n.dtype)
+        out = out + jax.random.binomial(
+            keys[i], ni.astype(jnp.float32), p
+        ).astype(jnp.int32)
+    return out
+
+
+def multinomial_partition(
+    key: jax.Array, n: jax.Array, logp: jax.Array, *, max_count: int | None = None
+):
     """Partition integer counts n [C] over categories logp [C, ncat].
 
     Binomial-cascade sampler (same scheme as the reference's
     multinomial_tensor, public_function.py:588-623): conditional
     binomials over the remaining mass, vectorized over rows; exact
     multinomial marginals.  Returns [C, ncat] int32 with row sums == n.
+
+    ``max_count``: static upper bound on any entry of ``n``; above 2^23
+    the binomial draws are split into exact sub-draws (see
+    :func:`_binomial_int`) so counts stay exact to int32 range.
     """
     ncat = logp.shape[-1]
+    n_parts = 1 if max_count is None else -(-int(max_count) // (1 << 23))
     p = jnp.exp(logp)
     # suffix mass strictly after category c: when it is zero (the
     # remaining categories are all symmetry-masked), the conditional is
@@ -62,14 +96,14 @@ def multinomial_partition(key: jax.Array, n: jax.Array, logp: jax.Array):
         [tail[..., 1:], jnp.zeros_like(tail[..., :1])], axis=-1
     )  # after[c] = sum p[c+1:]
     out = []
-    rem_n = n.astype(jnp.float32)
+    rem_n = n.astype(jnp.int32)
     rem_p = jnp.ones_like(p[..., 0])
     for c in range(ncat - 1):
         key, kc = jax.random.split(key)
         cond = jnp.clip(p[..., c] / jnp.maximum(rem_p, 1e-30), 0.0, 1.0)
         cond = jnp.where(after[..., c] <= 0, 1.0, cond)
-        draw = jax.random.binomial(kc, rem_n, cond)
-        draw = jnp.where(rem_n > 0, draw, 0.0)
+        draw = _binomial_int(kc, rem_n, cond, n_parts)
+        draw = jnp.where(rem_n > 0, draw, 0)
         out.append(draw)
         rem_n = rem_n - draw
         rem_p = rem_p - p[..., c]
@@ -89,6 +123,7 @@ def ar_sampling(
     *,
     capacity: int,
     exclude_sorted_keys=None,
+    max_count: int | None = None,
 ):
     """Exact AR sampling. Returns (bits [C, sorb] int8, counts [C] int32).
 
@@ -131,6 +166,7 @@ def ar_sampling(
     state = _ar_steps(
         model, params, key, state, 0, n_steps, site_order,
         exclude_sorted_keys=exclude_sorted_keys,
+        max_count=int(n_sample) if isinstance(n_sample, (int, np.integer)) else max_count,
     )
     bits, counts = state[0], state[1]
     dropped = n_sample - counts.sum()
@@ -139,7 +175,7 @@ def ar_sampling(
 
 def _ar_steps(
     model, params, key, state, k_from: int, k_to: int, site_order,
-    exclude_sorted_keys=None,
+    exclude_sorted_keys=None, max_count: int | None = None,
 ):
     """Advance the fixed-capacity AR state over steps [k_from, k_to)."""
     sorb = model.sorb
@@ -187,7 +223,9 @@ def _ar_steps(
             mask = mask & jnp.stack(cand, axis=-1)
         logp = apply_mask_logp(logp, mask)
         # dead rows keep all mass in category 0 (count 0 anyway)
-        sub = multinomial_partition(kk, counts, logp)  # [C, ncat]
+        sub = multinomial_partition(
+            kk, counts, logp, max_count=max_count
+        )  # [C, ncat]
 
         # ---- compact 4C -> C by count (top_k is exact, deterministic) ----
         flat = sub.reshape(-1)  # [C * ncat]
@@ -261,6 +299,7 @@ def ar_sampling_slabbed(
         bits, counts, _dropped = ar_sampling(
             model, params, k, n_s, capacity=capacity,
             exclude_sorted_keys=exclude_sorted_keys,
+            max_count=int(ns.max()),
         )
         return None, (bits, counts)
 
@@ -332,7 +371,10 @@ def ar_sampling_sharded(
         prev = jnp.zeros((capacity,), dtype=jnp.int32)
         carry = model.ar_init(params, capacity)
         state = (bits, counts, used_a, used_b, prev, carry)
-        state = _ar_steps(model, params, key, state, 0, tree_height, site_order)
+        state = _ar_steps(
+            model, params, key, state, 0, tree_height, site_order,
+            max_count=int(n_sample) if isinstance(n_sample, (int, np.integer)) else None,
+        )
         bits, counts, used_a, used_b, prev, carry = state
 
         # ---- slice my shard of branches (sorted by count for balance:
@@ -350,7 +392,8 @@ def ar_sampling_sharded(
         key_l = jax.random.fold_in(key, 7919 + rank)
         state_l = (bits_l, counts_l, used_a_l, used_b_l, prev_l, carry_l)
         state_l = _ar_steps(
-            model, params, key_l, state_l, tree_height, n_steps, site_order
+            model, params, key_l, state_l, tree_height, n_steps, site_order,
+            max_count=int(n_sample) if isinstance(n_sample, (int, np.integer)) else None,
         )
         return state_l[0], state_l[1]
 

