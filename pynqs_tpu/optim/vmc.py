@@ -32,6 +32,9 @@ class VMCConfig:
     eloc_method: str = "simple"  # "simple" | "reduce"
     eloc_k_det: int = 256  # REDUCE: deterministic top-k terms
     eloc_n_stoch: int = 64  # REDUCE: stochastic tail draws
+    # AD microbatch rows (reference MAX_AD_DIM): backward-pass
+    # activations scale with this, not the sample-buffer size
+    grad_batch: int | None = None
     clip_grad: float | None = 1.0  # global-norm clip; None = off
     optimizer: optax.GradientTransformation | None = None
     log_every: int = 25
@@ -180,7 +183,10 @@ class VMC:
                     batch=self.cfg.eloc_batch,
                     hpair=self._hpair,
                 )
-            e, grads, var = energy_and_grad(self.model, params, bits, w, eloc)
+            e, grads, var = energy_and_grad(
+                self.model, params, bits, w, eloc,
+                grad_batch=self.cfg.grad_batch,
+            )
             e_re = e[0]
             # effective sample size (probability weights): diagnostics
             n_eff = 1.0 / jnp.maximum((w**2).sum(), 1e-30)
