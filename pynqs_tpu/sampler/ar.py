@@ -39,6 +39,8 @@ __all__ = [
     "ar_sampling",
     "ar_sampling_sharded",
     "ar_sampling_slabbed",
+    "ar_sampling_dfs",
+    "compact_by_count",
 ]
 
 
@@ -318,6 +320,128 @@ def ar_sampling_slabbed(
         bits = _onv.unpack_bits(uniq, sorb).astype(jnp.int8)
     dropped = n_sample - counts.sum()
     return bits, counts, dropped
+
+
+def ar_sampling_dfs(
+    model,
+    params,
+    key: jax.Array,
+    n_sample: int,
+    *,
+    capacity: int,
+    n_group: int,
+    split_depth: int | None = None,
+    capacity_root: int | None = None,
+):
+    """Depth-first prefix-partitioned AR sampling — the static-shape
+    equivalent of the reference's rematerializing DFS samplers
+    (vmc/ansatz/transformer/decoder.py:622-721 `forward_dfs`,
+    rnn/graph_mpsrnn.py:1246-1310 `min_batch` chunking).
+
+    Phase 1 expands the branch tree to ``split_depth`` at
+    ``capacity_root`` rows; as long as the number of live prefixes at
+    that depth fits, this phase is EXACT (no truncation).  The live
+    branches are then dealt round-robin by count rank into ``n_group``
+    disjoint groups — distinct prefixes, so every group's descendants
+    are globally unique — and one `lax.scan` finishes each group's
+    remaining sites at full ``capacity`` (hidden state is carried in,
+    i.e. rematerialized once per group, not per site).  Effective
+    capacity: n_group × capacity with peak live rows
+    max(capacity_root, capacity); per-group tails hold only ~1/n_group
+    of the mass, so truncation loss falls superlinearly vs one tree.
+
+    Returns (bits [n_group*capacity, sorb], counts, dropped).  Rows are
+    globally unique; counts==0 marks padding.  Exactly multinomial:
+    partitioning Multinomial(n, |ψ|²) by prefix IS the joint law —
+    unlike slabs, no duplicate merging and no repeated head expansion.
+    """
+    sorb = model.sorb
+    nps = model.sites_per_step
+    n_steps = sorb // nps
+    if capacity_root is None:
+        capacity_root = capacity
+    if capacity_root % n_group:
+        raise ValueError("capacity_root must be a multiple of n_group")
+    rpg = capacity_root // n_group  # rows dealt per group
+    if rpg > capacity:
+        raise ValueError("capacity_root/n_group must fit in capacity")
+    if split_depth is None:
+        # heuristic: deep enough that branches ≈ fill capacity_root in
+        # the worst case (ncat^k growth), shallow enough to stay exact
+        # for peaked states; callers should tune on their state
+        split_depth = max(1, min(n_steps - 1, (capacity_root.bit_length() - 1) // nps))
+    noa, nob = model.noa, model.nob
+    site_order = getattr(model, "site_order", None)
+    if site_order is None:
+        site_order = list(range(n_steps)) if nps == 2 else None
+    max_count = int(n_sample) if isinstance(n_sample, (int, np.integer)) else None
+
+    # ---- phase 1: exact expansion to split_depth ----
+    C0 = capacity_root
+    bits = jnp.zeros((C0, sorb), dtype=jnp.int8)
+    counts = jnp.zeros((C0,), dtype=jnp.int32).at[0].set(n_sample)
+    used_a = jnp.zeros((C0,), dtype=jnp.int32)
+    used_b = jnp.zeros((C0,), dtype=jnp.int32)
+    prev = jnp.zeros((C0,), dtype=jnp.int32)
+    carry = model.ar_init(params, C0)
+    state = (bits, counts, used_a, used_b, prev, carry)
+    state = _ar_steps(
+        model, params, key, state, 0, split_depth, site_order,
+        max_count=max_count,
+    )
+    bits, counts, used_a, used_b, prev, carry = state
+
+    # ---- deal branches round-robin by count rank (top_k left them
+    # sorted descending) into disjoint groups, padded to capacity ----
+    C = capacity
+    gidx = jnp.arange(n_group)[:, None] * 1 + jnp.arange(rpg)[None, :] * n_group
+    pad_idx = jnp.broadcast_to(gidx[:, :1], (n_group, C - rpg))
+    idx = jnp.concatenate([gidx, pad_idx], axis=1)  # [G, C]
+    g_bits = jnp.take(bits, idx.reshape(-1), axis=0).reshape(n_group, C, sorb)
+    g_counts = jnp.take(counts, idx.reshape(-1), axis=0).reshape(n_group, C)
+    g_counts = g_counts.at[:, rpg:].set(0)  # padding rows are dead
+    g_used_a = jnp.take(used_a, idx.reshape(-1), axis=0).reshape(n_group, C)
+    g_used_b = jnp.take(used_b, idx.reshape(-1), axis=0).reshape(n_group, C)
+    g_prev = jnp.take(prev, idx.reshape(-1), axis=0).reshape(n_group, C)
+    g_carry = jax.tree.map(
+        lambda l: jnp.take(l, idx.reshape(-1), axis=0).reshape(
+            (n_group, C) + l.shape[1:]
+        ),
+        carry,
+    )
+
+    # ---- phase 2: finish each group's subtree depth-first ----
+    def body(_, xs):
+        g, st = xs
+        k_g = jax.random.fold_in(key, 104729 + g)
+        st = _ar_steps(
+            model, params, k_g, st, split_depth, n_steps, site_order,
+            max_count=max_count,
+        )
+        return None, (st[0], st[1])
+
+    xs = (
+        jnp.arange(n_group),
+        (g_bits, g_counts, g_used_a, g_used_b, g_prev, g_carry),
+    )
+    _, (out_bits, out_counts) = jax.lax.scan(body, None, xs)
+    out_bits = out_bits.reshape(n_group * C, sorb)
+    out_counts = out_counts.reshape(n_group * C)
+    dropped = n_sample - out_counts.sum()
+    return out_bits, out_counts, dropped
+
+
+def compact_by_count(bits: jax.Array, counts: jax.Array, n_keep: int):
+    """Keep the ``n_keep`` highest-count rows (deterministic top-k).
+
+    Shrinks a sparse sample buffer (e.g. the n_group×capacity DFS
+    output, mostly dead rows) to the rows that actually carry mass
+    before the O(rows) eloc/gradient phases.  Exact whenever the number
+    of live rows ≤ n_keep; otherwise the dropped mass is the tail —
+    check the returned kept-count sum against the original.
+    """
+    top_counts, top_idx = jax.lax.top_k(counts, n_keep)
+    return jnp.take(bits, top_idx, axis=0), top_counts
 
 
 def ar_sampling_sharded(

@@ -37,6 +37,18 @@ class ARSampler:
     # reference's DFS frontier chunking; effective capacity is
     # n_slab × capacity.
     n_slab: int = 1
+    # DFS prefix partitioning (reference use_dfs_sample/min_batch —
+    # see ar.ar_sampling_dfs): >1 expands the tree exactly to
+    # dfs_split_depth at dfs_capacity_root rows, then finishes
+    # dfs_n_group disjoint prefix groups at full capacity each.
+    # Effective capacity n_group × capacity with exact head expansion
+    # (supersedes slabs for wide-tail states).
+    dfs_n_group: int = 1
+    dfs_split_depth: int | None = None
+    dfs_capacity_root: int | None = None
+    # post-sampling compaction: keep only the n highest-count rows so
+    # the eloc/gradient phases scale with live rows, not buffer rows
+    max_unique: int | None = None
     # adaptive n_sample: grow ×10 (re-sampling the whole tree inside a
     # lax.while_loop — one extra compile, n_sample is a traced scalar)
     # until at least ``target_unique`` distinct determinants emerge or
@@ -143,6 +155,15 @@ class ARSampler:
                     capacity=self.capacity, mesh=self.mesh,
                     tree_height=self.tree_height,
                 )
+        elif self.dfs_n_group > 1:
+            from pynqs_tpu.sampler.ar import ar_sampling_dfs
+
+            bits, counts, _dropped = ar_sampling_dfs(
+                model, params, key, self.n_sample,
+                capacity=self.capacity, n_group=self.dfs_n_group,
+                split_depth=self.dfs_split_depth,
+                capacity_root=self.dfs_capacity_root,
+            )
         elif self.n_slab > 1:
             from pynqs_tpu.sampler.ar import ar_sampling_slabbed
 
@@ -154,6 +175,10 @@ class ARSampler:
             bits, counts, _dropped = ar_sampling(
                 model, params, key, self.n_sample, capacity=self.capacity
             )
+        if self.max_unique is not None and self.max_unique < bits.shape[0]:
+            from pynqs_tpu.sampler.ar import compact_by_count
+
+            bits, counts = compact_by_count(bits, counts, self.max_unique)
         lp = model.log_psi(params, bits)  # [C, 2] pair
         w = counts.astype(lp.dtype) / jnp.maximum(counts.sum(), 1)
         return bits, w, lp, None
