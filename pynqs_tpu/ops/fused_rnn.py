@@ -49,7 +49,6 @@ _HI = jax.lax.Precision.HIGHEST
 def fused_forward_available(model) -> bool:
     return (
         type(model).__name__ == "GraphMPSRNN"
-        and not model.use_tensor
         and model.sites_per_step == 2
     )
 
@@ -137,21 +136,70 @@ def _pack_weights(model, params, dp: int):
     return Wt, vcat, E, PW, SC
 
 
+def _pack_tensor_weights(model, params, dp: int, dcp: int):
+    """Tensor-coupling matmul tables (reference use_tensor K/U chain,
+    graph_mpsrnn.py:915-977) in the kernel's transposed layout:
+
+    UW [norb, mp*8*dcp, 2*mp*dp]: per (pred j, value x) complex rows
+         u_{j,x} = U[t,j,x] · h_{pred j}; row layout (j, x, re|im,
+         dcp), input columns the SAME pred-major concat the main W
+         uses.  Block-sparse (row block (j,x) reads only input block
+         j) packed dense — MXU zeros are free.
+    KW [norb, 8*dp, 8*dcp]: x-block-diagonal complex map
+         Δh̃(x) = K[t,x] · Π_j u_{j,x}; output rows match the z layout
+         (x, re|im, dp), input columns (x, re|im, dcp).
+    """
+    norb, d, mp = model.norb, model.dcut, model.maxp
+    dc = model.dcut_cmpr
+    dt = jnp.float32
+    Ur = jnp.pad(
+        params["U_re"].astype(dt),
+        [(0, 0), (0, 0), (0, 0), (0, dcp - dc), (0, dp - d)],
+    )  # [norb, mp, 4, dcp, dp]
+    Ui = jnp.pad(
+        params["U_im"].astype(dt),
+        [(0, 0), (0, 0), (0, 0), (0, dcp - dc), (0, dp - d)],
+    )
+    UW = jnp.zeros((norb, mp, 4, 2, dcp, mp, 2, dp), dt)
+    for j in range(mp):
+        UW = UW.at[:, j, :, 0, :, j, 0, :].set(Ur[:, j])
+        UW = UW.at[:, j, :, 0, :, j, 1, :].set(-Ui[:, j])
+        UW = UW.at[:, j, :, 1, :, j, 0, :].set(Ui[:, j])
+        UW = UW.at[:, j, :, 1, :, j, 1, :].set(Ur[:, j])
+    UW = UW.reshape(norb, mp * 8 * dcp, 2 * mp * dp)
+
+    Kr = jnp.pad(
+        params["K_re"].astype(dt), [(0, 0), (0, 0), (0, dp - d), (0, dcp - dc)]
+    )  # [norb, 4, dp, dcp]
+    Ki = jnp.pad(
+        params["K_im"].astype(dt), [(0, 0), (0, 0), (0, dp - d), (0, dcp - dc)]
+    )
+    KW = jnp.zeros((norb, 4, 2, dp, 4, 2, dcp), dt)
+    x4 = jnp.arange(4)
+    KW = KW.at[:, x4, 0, :, x4, 0, :].set(Kr.transpose(1, 0, 2, 3))
+    KW = KW.at[:, x4, 0, :, x4, 1, :].set(-Ki.transpose(1, 0, 2, 3))
+    KW = KW.at[:, x4, 1, :, x4, 0, :].set(Ki.transpose(1, 0, 2, 3))
+    KW = KW.at[:, x4, 1, :, x4, 1, :].set(Kr.transpose(1, 0, 2, 3))
+    KW = KW.reshape(norb, 8 * dp, 8 * dcp)
+    return UW, KW
+
+
 def _kernel(
-    sc_ref,  # SMEM [norb, 4] f32
-    vals_ref,  # [norb, TB] f32 (site values 0..3, canonical site index)
-    W_ref,  # [norb, 8*dp, 2*mp*dp]
-    vcat_ref,  # [norb, 8*dp, 1] f32 bias columns
-    E_ref,  # [norb, 8*dp, 1] f32 softplus(η)
-    pw_ref,  # [norb, 8, 2*dp] f32 phase matmul rows
-    out_ref,  # [8, TB] f32
-    hbuf,  # scratch [norb, 2*dp, TB] f32 (non-chain graphs)
-    *,
+    *refs,
     model_static,
 ):
-    (order, pred, norb, d, dp, mp, noa, nob, phase_mode, norm_mode, mmdt) = (
-        model_static
-    )
+    # refs: sc [norb,4] SMEM, vals [norb,TB], W [norb,8dp,2·mp·dp],
+    # vcat [norb,8dp,1], E [norb,8dp,1], pw [norb,8,2dp],
+    # (UW [norb,mp·8·dcp,2·mp·dp], KW [norb,8dp,8dcp] iff use_tensor),
+    # out [8,TB], hbuf scratch
+    (order, pred, norb, d, dp, mp, noa, nob, phase_mode, norm_mode, mmdt,
+     use_tensor, dcp, npred) = model_static
+    sc_ref, vals_ref, W_ref, vcat_ref, E_ref, pw_ref = refs[:6]
+    if use_tensor:
+        uw_ref, kw_ref = refs[6:8]
+        out_ref, hbuf = refs[8:]
+    else:
+        out_ref, hbuf = refs[6:]
     TB = vals_ref.shape[1]
     f32 = jnp.float32
     chain = mp == 1 and all(
@@ -182,12 +230,55 @@ def _kernel(
             )  # [2*mp*dp, TB]
         w_t = W_ref[t]
         if mmdt == "bf16":
-            z = jnp.dot(
-                w_t, u.astype(jnp.bfloat16), preferred_element_type=f32
-            )
+            u_mm = u.astype(jnp.bfloat16)
+            z = jnp.dot(w_t, u_mm, preferred_element_type=f32)
         else:
-            z = jnp.dot(w_t, u, preferred_element_type=f32, precision=_HI)
+            u_mm = u
+            z = jnp.dot(w_t, u_mm, preferred_element_type=f32, precision=_HI)
         z = z + vcat_ref[t]  # [8*dp, TB] + [8*dp, 1]
+
+        # ---- compressed tensor coupling at multi-predecessor sites:
+        # Δh̃(x) = K[x] · Π_j (U_j[x] h_pj) (reference use_tensor,
+        # graph_mpsrnn.py:915-977); two extra MXU dots + an
+        # elementwise complex product over the compressed index ----
+        if use_tensor and npred[t] >= 2:
+            if mmdt == "bf16":
+                uo = jnp.dot(uw_ref[t], u_mm, preferred_element_type=f32)
+            else:
+                uo = jnp.dot(
+                    uw_ref[t], u_mm, preferred_element_type=f32, precision=_HI
+                )  # [mp*8*dcp, TB], rows (j, x, re|im, dcp)
+            blk = 2 * dcp
+
+            def _u(j, x):
+                base = (j * 4 + x) * blk
+                return (
+                    uo[base : base + dcp, :],
+                    uo[base + dcp : base + blk, :],
+                )
+
+            tp_parts = []
+            for v in range(4):
+                tp_re, tp_im = _u(0, v)
+                for j in range(1, npred[t]):
+                    uj_re, uj_im = _u(j, v)
+                    tp_re, tp_im = (
+                        tp_re * uj_re - tp_im * uj_im,
+                        tp_re * uj_im + tp_im * uj_re,
+                    )
+                tp_parts.append(tp_re)
+                tp_parts.append(tp_im)
+            prcat = jnp.concatenate(tp_parts, axis=0)  # [8*dcp, TB]
+            if mmdt == "bf16":
+                z = z + jnp.dot(
+                    kw_ref[t], prcat.astype(jnp.bfloat16),
+                    preferred_element_type=f32,
+                )
+            else:
+                z = z + jnp.dot(
+                    kw_ref[t], prcat, preferred_element_type=f32,
+                    precision=_HI,
+                )
 
         # ---- per-value weights: η-weighted block sublane sums ----
         zsq = z * z
@@ -285,9 +376,10 @@ def graph_mpsrnn_logpsi_fused(
     matmul semantics of the XLA forward) or f32 for exact agreement.
     """
     if not fused_forward_available(model):
-        raise ValueError("fused forward supports GraphMPSRNN w/o tensor")
+        raise ValueError("fused forward supports GraphMPSRNN (2-site)")
     norb, d, mp = model.norb, model.dcut, model.maxp
     dp = _round_up(d, 64)
+    dcp = _round_up(model.dcut_cmpr, 8) if model.use_tensor else 0
     N = bits.shape[0]
     TB = block_rows
     n_pad = _round_up(N, TB)
@@ -305,39 +397,45 @@ def graph_mpsrnn_logpsi_fused(
         W = W.astype(jnp.bfloat16)  # halves VMEM residency
 
     mmdt = "bf16" if matmul_dtype == jnp.bfloat16 else "f32"
+    npred = tuple(int(r.sum()) for r in model._pred_mask)
     model_static = (
         tuple(model._order),
         tuple(tuple(int(v) for v in row) for row in model._pred),
         norb, d, dp, mp, model.noa, model.nob,
         model.phase_mode, model.norm_mode, mmdt,
+        bool(model.use_tensor), dcp, npred,
     )
     kern = partial(_kernel, model_static=model_static)
+
+    inv = lambda shape: pl.BlockSpec(  # noqa: E731 — grid-invariant
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((norb, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((norb, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        inv((norb, 8 * dp, 2 * mp * dp)),
+        inv((norb, 8 * dp, 1)),
+        inv((norb, 8 * dp, 1)),
+        inv((norb, 8, 2 * dp)),
+    ]
+    operands = [SC, vals_t, W, vcat, E, PW]
+    if model.use_tensor:
+        UW, KW = _pack_tensor_weights(model, params, dp, dcp)
+        if matmul_dtype == jnp.bfloat16:
+            UW = UW.astype(jnp.bfloat16)
+            KW = KW.astype(jnp.bfloat16)
+        in_specs += [
+            inv((norb, mp * 8 * dcp, 2 * mp * dp)),
+            inv((norb, 8 * dp, 8 * dcp)),
+        ]
+        operands += [UW, KW]
 
     grid = (n_pad // TB,)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((norb, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((norb, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (norb, 8 * dp, 2 * mp * dp), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (norb, 8 * dp, 1), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (norb, 8 * dp, 1), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (norb, 8, 2 * dp), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (8, TB), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
@@ -353,7 +451,7 @@ def graph_mpsrnn_logpsi_fused(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(SC, vals_t, W, vcat, E, PW)
+    )(*operands)
 
     log_amp = out[0, :N]
     if model.phase_mode == "arg":

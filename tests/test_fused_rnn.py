@@ -70,8 +70,34 @@ def test_fused_zero_phase_readout_sites():
     _check(model, params, bits)
 
 
-def test_fused_unavailable_for_tensor_coupling():
+def test_fused_matches_xla_tensor_coupling():
+    """Multi-predecessor DAG WITH the compressed tensor coupling
+    (VERDICT round-2 missing #3): the fused kernel must agree with the
+    XLA path at sites with ≥2 predecessors."""
     model = GraphMPSRNN(
-        12, 3, 3, dcut=6, graph=grid_snake_graph(3, 2), use_tensor=True
+        12, 3, 3, dcut=8, dcut_cmpr=4, dtype=jnp.float32,
+        graph=grid_snake_graph(3, 2), use_tensor=True,
+        phase_mode="arg", norm_mode="mpsrnn",
     )
-    assert not fused_forward_available(model)
+    assert fused_forward_available(model)
+    params = model.init(jax.random.PRNGKey(4))
+    bits = jnp.asarray(fci.fci_bits(12, 3, 3))[:100]
+    _check(model, params, bits)
+
+
+def test_fused_matches_xla_tensor_extra_pred_chain():
+    """Chain + extra max-weight predecessor edges (utils/graph
+    dag_from_order), tensor coupling on — the plateau-attack model
+    shape for Fe2S2."""
+    from pynqs_tpu.utils.graph import dag_from_order
+
+    rng = np.random.default_rng(0)
+    w = np.abs(rng.standard_normal((6, 6)))
+    g = dag_from_order(list(range(6)), w, max_preds=3)
+    model = GraphMPSRNN(
+        12, 3, 3, dcut=8, dcut_cmpr=4, dtype=jnp.float32,
+        graph=g, use_tensor=True, phase_mode="linear", norm_mode="unit",
+    )
+    params = model.init(jax.random.PRNGKey(5))
+    bits = jnp.asarray(fci.fci_bits(12, 3, 3))[:64]
+    _check(model, params, bits)
