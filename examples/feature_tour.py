@@ -1,11 +1,16 @@
 """Feature tour on a 6-site Hubbard chain (runs on CPU in ~2 min).
 
-Demonstrates the round-2 API surface end to end:
+Demonstrates the API surface end to end — the reference's full
+pre-train → VMC → projector ladder with no external quantum-chemistry
+dependency:
   1. exact FCI reference via the dense Slater–Condon matrix,
-  2. VMC with the slabbed AR sampler + REDUCE local energy,
-  3. matrix-free CG min-SR refinement,
-  4. RESTRICTED (given-states) deterministic optimization,
-  5. fixed-node GFMC on the trained NQS trial with walker dedup.
+  2. native CISD (Davidson on the singles-doubles space) + CITrain
+     pre-training of the ansatz onto it (the reference starts this
+     rung from pyscf UCISD — interface_pyscf.py:13-144),
+  3. VMC with the DFS prefix-partitioned AR sampler + REDUCE eloc,
+  4. matrix-free CG min-SR refinement,
+  5. RESTRICTED (given-states) deterministic optimization,
+  6. fixed-node GFMC on the trained NQS trial with walker dedup.
 
 Usage:  JAX_PLATFORMS=cpu python examples/feature_tour.py
 """
@@ -40,11 +45,27 @@ def main():
     e0 = w[0]
     print(f"FCI reference: {e0:.6f} Ha over {space.shape[0]} determinants")
 
-    # ---- 2. VMC: slabbed AR sampling + REDUCE eloc ----
+    # ---- 2. native CISD + CITrain pre-training (pyscf-free) ----
+    from pynqs_tpu.ci import CITrain, CITrainConfig, cisd_space, solve_ci
+
+    e_sd, ci_sd = solve_ci(
+        cisd_space(sys_.sorb, sys_.noa, sys_.nob), sys_.tables,
+        ecore=sys_.ecore,
+    )
+    print(f"native CISD:  {e_sd:.6f} Ha ({1000 * (e_sd - e0):+.2f} mHa)")
     model = GraphMPSRNN(sys_.sorb, sys_.noa, sys_.nob, dcut=10)
+    pre = CITrain(
+        model, ci_sd.select(1e-6),
+        CITrainConfig(n_iter=200, lr=2e-2, loss="overlap", log_every=100),
+    )
+    params, _ = pre.run(jax.random.PRNGKey(4))
+    print(f"CITrain:      |<psi|CISD>|^2 = {pre.overlap(params):.4f}")
+
+    # ---- 3. VMC: DFS prefix-partitioned AR sampling + REDUCE eloc ----
     sampler = ARSampler(
         sys_.sorb, sys_.noa, sys_.nob,
-        n_sample=50_000, capacity=128, n_slab=2,
+        n_sample=50_000, capacity=128,
+        dfs_n_group=2, dfs_split_depth=3, dfs_capacity_root=64,
     )
     vmc = VMC(
         model, sys_, sampler,
@@ -53,11 +74,11 @@ def main():
             eloc_k_det=24, eloc_n_stoch=8, log_every=50,
         ),
     )
-    params, hist = vmc.run(jax.random.PRNGKey(0))
+    params, hist = vmc.run(jax.random.PRNGKey(0), params=params)
     print(f"VMC (Adam):   {np.mean(hist[-10:]):.6f} Ha "
           f"({1000 * (np.mean(hist[-10:]) - e0):+.2f} mHa)")
 
-    # ---- 3. CG min-SR refinement ----
+    # ---- 4. CG min-SR refinement ----
     vmc_sr = VMC(
         model, sys_, sampler,
         VMCConfig(
@@ -71,7 +92,7 @@ def main():
     print(f"VMC (CG-SR):  {np.mean(hist[-10:]):.6f} Ha "
           f"({1000 * (np.mean(hist[-10:]) - e0):+.2f} mHa)")
 
-    # ---- 4. RESTRICTED deterministic optimization on a det subset ----
+    # ---- 5. RESTRICTED deterministic optimization on a det subset ----
     lp = model.log_psi(params, jnp.asarray(space))
     top = np.argsort(-np.asarray(lp[:, 0]))[:64]
     rsamp = RestrictedSampler(
@@ -84,7 +105,7 @@ def main():
     params, hist = vmc_r.run(jax.random.PRNGKey(2), params=params)
     print(f"RESTRICTED:   {hist[-1]:.6f} Ha (64-det support)")
 
-    # ---- 5. fixed-node GFMC with the trained-NQS-derived CI trial ----
+    # ---- 6. fixed-node GFMC with the trained-NQS-derived CI trial ----
     lp = np.asarray(model.log_psi(params, jnp.asarray(space)))
     c = np.exp(lp[:, 0]) * np.cos(lp[:, 1])
     trial = ci_trial_log_psi(CIWavefunction(jnp.asarray(c), space))

@@ -37,6 +37,7 @@ __all__ = [
     "local_energy_simple_dedup",
     "dedup_eval",
     "local_energy_reduce",
+    "reduce_unique_count",
     "local_energy_sample_space",
     "make_local_energy",
 ]
@@ -155,6 +156,7 @@ def local_energy_reduce(
     batch: int | None = None,
     hpair: jax.Array | None = None,
     topk: str = "exact",
+    dedup_unique_max: int | None = None,
 ) -> jax.Array:
     """Semi-stochastic screened E_loc (reference ElocMethod.REDUCE,
     vmc/energy/eloc.py:205-323), re-shaped for static-shape XLA:
@@ -193,48 +195,85 @@ def local_energy_reduce(
         kd = min(k_det, n_off)
         hij_off = hij[:, 1:]
         absh = jnp.abs(hij_off)
+        # 7-bit orbital packing leaves room for the Hij sign bit, so
+        # one take_along_axis per selection carries (orbs, sign) and
+        # |H| comes from the top-k values themselves — 3 scalar-core
+        # gathers become 1 (round-3 selection-path rework)
+        slim = sorb <= 127 and topk != "approx"
+        ow = 7 if slim else 8
 
-        # packed selection payload: (i | a<<8 | j<<16 | b<<24) per term
+        # packed selection payload: (i | a<<w | j<<2w | b<<3w [| sign])
         merged = _onv_mod.merged_orbital_list(chunk_bits, table.noa, table.nob)
         orbs_all = jnp.take(merged, jnp.asarray(table.pos), axis=-1)
         opack = (
             orbs_all[..., 0]
-            | (orbs_all[..., 1] << 8)
-            | (orbs_all[..., 2] << 16)
-            | (orbs_all[..., 3] << 24)
+            | (orbs_all[..., 1] << ow)
+            | (orbs_all[..., 2] << (2 * ow))
+            | (orbs_all[..., 3] << (3 * ow))
         ).astype(jnp.int32)  # [b, n_sd]
+        if slim:
+            opack = opack | jnp.where(hij_off < 0, jnp.int32(1) << 28, 0)
 
         def unpack_sel(sel_idx):
             op = jnp.take_along_axis(opack, sel_idx, axis=1)
             orbs = jnp.stack(
-                [(op >> (8 * s)) & 0xFF for s in range(4)], axis=-1
+                [(op >> (ow * s)) & ((1 << ow) - 1) for s in range(4)],
+                axis=-1,
             )
-            return _excite_bits(chunk_bits, orbs, sel_idx >= ns)
+            sgn = (
+                1.0 - 2.0 * ((op >> 28) & 1).astype(absh.dtype)
+                if slim
+                else None
+            )
+            return _excite_bits(chunk_bits, orbs, sel_idx >= ns), sgn
 
         # deterministic top-k by |H|
         if topk == "approx":
             top_abs, top_idx = jax.lax.approx_max_k(absh, kd)
         else:
             top_abs, top_idx = jax.lax.top_k(absh, kd)  # [b, kd]
-        det_bits = unpack_sel(top_idx)  # [b, kd, sorb]
-        det_h = jnp.take_along_axis(hij_off, top_idx, axis=1)
+        det_bits, det_sgn = unpack_sel(top_idx)  # [b, kd, sorb]
 
-        # stochastic tail ∝ residual |H|
-        resid = absh.at[
-            jnp.arange(b)[:, None], top_idx
-        ].set(0.0)
+        if slim:
+            det_h = det_sgn * top_abs
+            # residual tail WITHOUT a scatter: lax.top_k breaks ties by
+            # lowest index, so the selected set is exactly {|H| > thr}
+            # plus the first (kd - #greater) elements tied at thr
+            thr = top_abs[:, -1:]
+            gt = absh > thr
+            c1 = gt.sum(-1, keepdims=True)
+            eq = absh == thr
+            eq_excl = jnp.cumsum(eq.astype(jnp.int32), axis=-1) - eq.astype(
+                jnp.int32
+            )
+            in_top = gt | (eq & (eq_excl < (kd - c1)))
+            resid = jnp.where(in_top, 0.0, absh)
+        else:
+            det_h = jnp.take_along_axis(hij_off, top_idx, axis=1)
+            resid = absh.at[jnp.arange(b)[:, None], top_idx].set(0.0)
         s_tail = resid.sum(-1)  # [b]
         draw = _sample_tail_cdf(k, resid, n_stoch)  # [b, n_stoch]
-        st_bits = unpack_sel(draw)
-        st_h = jnp.take_along_axis(hij_off, draw, axis=1)
+        st_bits, st_sgn = unpack_sel(draw)
+        if slim:
+            st_h = st_sgn  # only the sign enters the tail estimator
+        else:
+            st_h = jnp.take_along_axis(hij_off, draw, axis=1)
 
         # one fused forward over [self | det | stoch]
         all_bits = jnp.concatenate(
             [chunk_bits[:, None, :], det_bits, st_bits], axis=1
         )
-        lp = log_psi_fn(all_bits.reshape(b * (1 + kd + n_stoch), sorb)).reshape(
-            b, 1 + kd + n_stoch, 2
-        )
+        flat = all_bits.reshape(b * (1 + kd + n_stoch), sorb)
+        if dedup_unique_max:
+            # peaked states' samples share most of their screened
+            # connected determinants — evaluate ψ once per unique row
+            # (reference Func/use_unique, vmc/energy/flip.py:29-63).
+            # Static-capacity contract: validate dedup_unique_max on
+            # your state with energy/eloc.reduce_unique_count.
+            lp, _nu = dedup_eval(log_psi_fn, flat, dedup_unique_max)
+            lp = lp.reshape(b, 1 + kd + n_stoch, 2)
+        else:
+            lp = log_psi_fn(flat).reshape(b, 1 + kd + n_stoch, 2)
         r_re, r_im = cplx.ratio_re_im(lp, lp[:, :1])
         e_diag = hij[:, 0].astype(r_re.dtype)
         det_hr = det_h.astype(r_re.dtype)
@@ -256,6 +295,54 @@ def local_energy_reduce(
     chunks = bits.reshape(-1, batch, bits.shape[-1])
     keys = jax.random.split(key, chunks.shape[0])
     return jax.lax.map(chunk_eloc, (chunks, keys)).reshape(-1, 2)[:nb]
+
+
+def reduce_unique_count(
+    bits: jax.Array,
+    tables: tuple,
+    table: ExcitationTable,
+    key: jax.Array,
+    *,
+    k_det: int = 256,
+    n_stoch: int = 64,
+    batch: int | None = None,
+    hpair: jax.Array | None = None,
+) -> jax.Array:
+    """Unique forward rows the REDUCE selection produces per chunk —
+    sizes ``dedup_unique_max`` for :func:`local_energy_reduce` (static
+    capacities are the XLA contract; validate, then pin).  Returns the
+    per-chunk unique counts [n_chunks]."""
+    counts = []
+
+    def probe(lp_fn_rows):
+        # replace the forward with a row-counting probe
+        return jnp.zeros((lp_fn_rows.shape[0], 2), jnp.float32)
+
+    nb = bits.shape[0]
+    b = batch or nb
+    (padded,) = _pad_rows(nb, b, bits)
+    chunks = padded.reshape(-1, b, bits.shape[-1])
+    keys = jax.random.split(key, chunks.shape[0])
+    for i in range(chunks.shape[0]):
+        got = {}
+
+        def spy(rows):
+            from pynqs_tpu.ops import lut as _lut
+
+            packed = _onv_mod.pack_bits(rows)
+            srt, _ = _lut.sort_onv(packed, jnp.arange(rows.shape[0], dtype=jnp.int32))
+            is_new = jnp.concatenate(
+                [jnp.ones((1,), bool), (srt[1:] != srt[:-1]).any(-1)]
+            )
+            got["n"] = is_new.sum()
+            return probe(rows)
+
+        local_energy_reduce(
+            spy, chunks[i], tables, table, keys[i],
+            k_det=k_det, n_stoch=n_stoch, hpair=hpair,
+        )
+        counts.append(got["n"])
+    return jnp.stack(counts)
 
 
 def dedup_eval(

@@ -95,6 +95,7 @@ def sr_gradient_cg(
     eloc: jax.Array,
     damping: float = 1e-3,
     n_cg: int = 50,
+    jac_batch: int | None = None,
 ):
     """Matrix-free SR: solve (Re S + λ)·δθ = 2 Re F by conjugate
     gradients with jvp/vjp matvecs (see module docstring).
@@ -105,6 +106,11 @@ def sr_gradient_cg(
 
     where O_c v comes from ONE jvp (both channels at once) and the
     transpose applications from ONE vjp.
+
+    ``jac_batch``: microbatch rows (the reference's MAX_AD_DIM
+    discipline): each matvec re-linearizes log ψ per `lax.scan` chunk,
+    so linearization residuals scale with jac_batch, not B — the
+    memory/recompute trade for ≥32k-row sample buffers.
     """
     weights = jax.lax.stop_gradient(weights)
     eloc = jax.lax.stop_gradient(eloc)
@@ -113,32 +119,96 @@ def sr_gradient_cg(
     e_mean = weights @ eloc
     cen = jnp.where(alive[:, None], eloc - e_mean, 0.0)  # [B, 2]
 
-    def f(p):
-        lp = model.log_psi(p, bits)  # [B, 2]
-        return jnp.where(alive[:, None], lp, 0.0)
+    B = bits.shape[0]
+    if jac_batch is None or jac_batch >= B:
 
-    _, vjp_fn = jax.vjp(f, params)
+        def f(p):
+            lp = model.log_psi(p, bits)  # [B, 2]
+            return jnp.where(alive[:, None], lp, 0.0)
 
-    # channel means m_c as pytrees (two vjps, computed once)
-    w2 = weights[:, None]
-    zeros = jnp.zeros_like(weights)
-    m0 = vjp_fn(jnp.stack([weights, zeros], -1))[0]
-    m1 = vjp_fn(jnp.stack([zeros, weights], -1))[0]
+        _, vjp_fn = jax.vjp(f, params)
 
-    def matvec(v):
-        _, t = jax.jvp(f, (params,), (v,))  # [B, 2] = O v per channel
-        t = jnp.where(alive[:, None], t, 0.0)
-        back = vjp_fn(w2 * t)[0]  # Σ_c O_cᵀ (w ∘ t_c)
-        mv0 = (weights * t[:, 0]).sum()  # m_0ᵀ v
-        mv1 = (weights * t[:, 1]).sum()
-        return jax.tree.map(
-            lambda b, a0, a1, vv: b - mv0 * a0 - mv1 * a1 + damping * vv,
-            back, m0, m1, v,
+        # channel means m_c as pytrees (two vjps, computed once)
+        w2 = weights[:, None]
+        zeros = jnp.zeros_like(weights)
+        m0 = vjp_fn(jnp.stack([weights, zeros], -1))[0]
+        m1 = vjp_fn(jnp.stack([zeros, weights], -1))[0]
+
+        def matvec(v):
+            _, t = jax.jvp(f, (params,), (v,))  # [B, 2] = O v per channel
+            t = jnp.where(alive[:, None], t, 0.0)
+            back = vjp_fn(w2 * t)[0]  # Σ_c O_cᵀ (w ∘ t_c)
+            mv0 = (weights * t[:, 0]).sum()  # m_0ᵀ v
+            mv1 = (weights * t[:, 1]).sum()
+            return jax.tree.map(
+                lambda b, a0, a1, vv: b - mv0 * a0 - mv1 * a1 + damping * vv,
+                back, m0, m1, v,
+            )
+
+        # rhs: F = Σ_c O_cᵀ (2 w ∘ cen_c)  (centering term vanishes
+        # since Σ_n w_n cen_n = 0)
+        F = vjp_fn(2.0 * w2 * cen)[0]
+    else:
+        pad = (-B) % jac_batch
+        if pad:
+            bits = jnp.concatenate(
+                [bits, jnp.broadcast_to(bits[:1], (pad,) + bits.shape[1:])]
+            )
+            weights = jnp.concatenate([weights, jnp.zeros(pad, weights.dtype)])
+            cen = jnp.concatenate([cen, jnp.zeros((pad, 2), cen.dtype)])
+            alive = jnp.concatenate([alive, jnp.zeros(pad, bool)])
+        g = bits.shape[0] // jac_batch
+        chunks = (
+            bits.reshape(g, jac_batch, -1),
+            weights.reshape(g, jac_batch),
+            cen.reshape(g, jac_batch, 2),
+            alive.reshape(g, jac_batch),
         )
 
-    # rhs: F = Σ_c O_cᵀ (2 w ∘ cen_c)  (centering term vanishes since
-    # Σ_n w_n cen_n = 0)
-    F = vjp_fn(2.0 * w2 * cen)[0]
+        def f_local(p, b, a):
+            lp = model.log_psi(p, b)
+            return jnp.where(a[:, None], lp, 0.0)
+
+        def accum_vjp(make_ct):
+            def body(acc, xs):
+                b, w, c, a = xs
+                _, vjp_fn = jax.vjp(lambda p: f_local(p, b, a), params)
+                gch = vjp_fn(make_ct(w, c))[0]
+                return jax.tree.map(jnp.add, acc, gch), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            out, _ = jax.lax.scan(body, zeros, chunks)
+            return out
+
+        z1 = lambda w: jnp.zeros_like(w)  # noqa: E731
+        m0 = accum_vjp(lambda w, c: jnp.stack([w, z1(w)], -1))
+        m1 = accum_vjp(lambda w, c: jnp.stack([z1(w), w], -1))
+        F = accum_vjp(lambda w, c: 2.0 * w[:, None] * c)
+
+        def matvec(v):
+            def body(acc, xs):
+                b, w, c, a = xs
+                out, lin = jax.linearize(
+                    lambda p: f_local(p, b, a), params
+                )
+                t = lin(v)  # [gb, 2]
+                back = jax.linear_transpose(lin, params)(w[:, None] * t)[0]
+                acc_t, a0, a1 = acc
+                return (
+                    jax.tree.map(jnp.add, acc_t, back),
+                    a0 + (w * t[:, 0]).sum(),
+                    a1 + (w * t[:, 1]).sum(),
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (back, mv0, mv1), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros(()), jnp.zeros(())), chunks
+            )
+            return jax.tree.map(
+                lambda b_, a0, a1, vv: b_ - mv0 * a0 - mv1 * a1
+                + damping * vv,
+                back, m0, m1, v,
+            )
 
     # plain CG from zero, fixed iteration count (static under jit)
     def dot(a, b):

@@ -35,6 +35,10 @@ class VMCConfig:
     # AD microbatch rows (reference MAX_AD_DIM): backward-pass
     # activations scale with this, not the sample-buffer size
     grad_batch: int | None = None
+    # REDUCE eloc forward dedup (reference use_unique): evaluate ψ once
+    # per unique connected determinant per eloc chunk.  Static unique
+    # capacity — size with energy/eloc.reduce_unique_count first.
+    eloc_dedup_max: int | None = None
     clip_grad: float | None = 1.0  # global-norm clip; None = off
     optimizer: optax.GradientTransformation | None = None
     log_every: int = 25
@@ -173,6 +177,7 @@ class VMC:
                     n_stoch=self.cfg.eloc_n_stoch,
                     batch=self.cfg.eloc_batch,
                     hpair=self._hpair,
+                    dedup_unique_max=self.cfg.eloc_dedup_max,
                 )
             else:
                 eloc = local_energy_simple(
@@ -197,6 +202,7 @@ class VMC:
                     grads = sr_gradient_cg(
                         self.model, params, bits, w, eloc,
                         damping=self.cfg.sr_damping, n_cg=self.cfg.sr_n_cg,
+                        jac_batch=self.cfg.grad_batch,
                     )
                 else:
                     from pynqs_tpu.grad.sr import sr_gradient

@@ -57,15 +57,16 @@ def molecule_system(
     hcore_ao = mf.get_hcore()
     ecore = float(mol.energy_nuc())
     if frozen_core:
-        # fold frozen-core contributions into hcore/ecore
-        dm_core = 2.0 * mo[:, :frozen_core] @ mo[:, :frozen_core].T
-        vhf_core = mf.get_veff(mol, dm_core)
-        ecore += float(
-            np.einsum("ij,ji->", dm_core, hcore_ao + 0.5 * vhf_core)
-        )
-        hcore_ao = hcore_ao + vhf_core
-    h1 = mo_act.T @ hcore_ao @ mo_act
-    eri = ao2mo.restore(1, ao2mo.kernel(mol, mo_act), norb)
+        # fold frozen core with the in-repo (pyscf-free, tested)
+        # transformation — utils/orbitals.freeze_core
+        from pynqs_tpu.utils.orbitals import freeze_core
+
+        h1_full = mo.T @ hcore_ao @ mo
+        eri_full = ao2mo.restore(1, ao2mo.kernel(mol, mo), mo.shape[1])
+        h1, eri, ecore = freeze_core(h1_full, eri_full, ecore, frozen_core)
+    else:
+        h1 = mo_act.T @ hcore_ao @ mo_act
+        eri = ao2mo.restore(1, ao2mo.kernel(mol, mo_act), norb)
     nelec = mol.nelectron - 2 * frozen_core
     noa = (nelec + mol.spin) // 2
     nob = nelec - noa

@@ -88,3 +88,33 @@ def test_cisd_seeds_citrain_ladder():
     params, hist = tr.run(jax.random.PRNGKey(0))
     ov = tr.overlap(params)
     assert ov > 0.9, ov
+
+
+def test_freeze_core_matches_restricted_fci():
+    """freeze_core oracle: FCI restricted to core-doubly-occupied
+    determinants of the FULL system == FCI of the frozen-core-reduced
+    system (pure integral identity, no pyscf)."""
+    from pynqs_tpu.utils.orbitals import freeze_core
+
+    rng = np.random.default_rng(7)
+    n = 4  # spatial orbitals, freeze 1
+    h1 = rng.standard_normal((n, n))
+    h1 = (h1 + h1.T) / 2 - 2.0 * np.eye(n)  # core well below
+    A = rng.standard_normal((n * n, n * n)) * 0.1
+    eri = (A @ A.T).reshape(n, n, n, n)  # PSD 2e tensor, (pq|rs) sym
+    eri = (eri + eri.transpose(1, 0, 2, 3)) / 2
+    eri = (eri + eri.transpose(0, 1, 3, 2)) / 2
+    eri = (eri + eri.transpose(2, 3, 0, 1)) / 2
+    ecore = 0.37
+
+    noa = nob = 2  # 4 electrons; orbital 0 frozen => 2 active electrons
+    sys_full = System.from_spatial(h1, eri, noa, nob, ecore)
+    space = fci.fci_bits(sys_full.sorb, noa, nob)
+    core_occ = (space[:, 0] == 1) & (space[:, 1] == 1)
+    e_restricted, _ = solve_ci(space[core_occ], sys_full.tables, ecore=ecore)
+
+    h1a, eria, ecore_a = freeze_core(h1, eri, ecore, 1)
+    sys_act = System.from_spatial(h1a, eria, noa - 1, nob - 1, ecore_a)
+    space_a = fci.fci_bits(sys_act.sorb, noa - 1, nob - 1)
+    e_frozen, _ = solve_ci(space_a, sys_act.tables, ecore=ecore_a)
+    assert abs(e_restricted - e_frozen) < 1e-7, (e_restricted, e_frozen)

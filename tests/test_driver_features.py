@@ -145,3 +145,33 @@ def test_grad_microbatching_matches_single_pass():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10
         )
+
+
+def test_sr_cg_jac_batch_matches_full():
+    """Chunked-linearize SR-CG == unchunked (MAX_AD_DIM analog for the
+    matrix-free natural gradient)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pynqs_tpu.grad.sr import sr_gradient_cg
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+
+    model = GraphMPSRNN(8, 2, 2, dcut=5)
+    params = model.init(jax.random.PRNGKey(0))
+    B = 19
+    bits = jax.random.bernoulli(jax.random.PRNGKey(1), 0.5, (B, 8)).astype(
+        jnp.int8
+    )
+    w = jax.random.uniform(jax.random.PRNGKey(2), (B,))
+    w = w.at[-2:].set(0.0)
+    w = w / w.sum()
+    eloc = jax.random.normal(jax.random.PRNGKey(3), (B, 2))
+    # few CG iterations: with B << P the S matrix is rank-deficient and
+    # long CG runs amplify 1e-15 summation-order differences chaotically
+    g1 = sr_gradient_cg(model, params, bits, w, eloc, n_cg=6)
+    g2 = sr_gradient_cg(model, params, bits, w, eloc, n_cg=6, jac_batch=8)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9
+        )

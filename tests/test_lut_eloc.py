@@ -153,3 +153,55 @@ def test_sample_space_eloc_on_full_space_equals_simple():
     np.testing.assert_allclose(
         np.asarray(e_ss), np.asarray(e_simple), atol=1e-10
     )
+
+
+def test_reduce_dedup_matches_plain():
+    """REDUCE with per-chunk forward dedup == plain REDUCE (same key ⇒
+    identical selection + tail draws; dedup only reroutes ψ evals)."""
+    import jax
+
+    from pynqs_tpu.energy.eloc import local_energy_reduce
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.utils import System
+
+    sys = System.hubbard_1d(6, 3, 3, u=4.0)
+    model = GraphMPSRNN(sys.sorb, sys.noa, sys.nob, dcut=8)
+    params = model.init(jax.random.PRNGKey(0))
+    space = fci.fci_bits(sys.sorb, sys.noa, sys.nob)
+    bits = jnp.asarray(space[:48])
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    hp = sys.tables.hpair
+    hp = None if hp is None else jnp.asarray(np.asarray(hp))
+    fn = lambda b: model.log_psi(params, b)  # noqa: E731
+    key = jax.random.PRNGKey(3)
+    e1 = local_energy_reduce(
+        fn, bits, ops, sys.excitation, key, k_det=24, n_stoch=8, hpair=hp
+    )
+    e2 = local_energy_reduce(
+        fn, bits, ops, sys.excitation, key, k_det=24, n_stoch=8, hpair=hp,
+        dedup_unique_max=48 * 33,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e1), np.asarray(e2), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_reduce_unique_count_probe():
+    import jax
+
+    from pynqs_tpu.energy.eloc import reduce_unique_count
+    from pynqs_tpu.utils import System
+
+    sys = System.hubbard_1d(6, 3, 3, u=4.0)
+    space = fci.fci_bits(sys.sorb, sys.noa, sys.nob)
+    bits = jnp.asarray(space[:32])
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    hp = sys.tables.hpair
+    hp = None if hp is None else jnp.asarray(np.asarray(hp))
+    n = reduce_unique_count(
+        bits, ops, sys.excitation, jax.random.PRNGKey(0),
+        k_det=24, n_stoch=8, hpair=hp,
+    )
+    # overlap in a small sector: unique must be well below total rows
+    total = 32 * (1 + 24 + 8)
+    assert 0 < int(n[0]) < total
