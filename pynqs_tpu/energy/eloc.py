@@ -374,6 +374,7 @@ def dedup_eval(
     )
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # [N], sorted ascending
     n_unique = is_new.sum()
+    overflow = seg >= n_unique_max  # rows beyond the static capacity
 
     # compact the first-occurrence rows into [n_unique_max, nw]
     order2 = jnp.where(is_new, seg, N)
@@ -384,6 +385,9 @@ def dedup_eval(
     lp_u = log_psi_fn(uniq_bits)  # [U, 2]
 
     lp_sorted = jnp.take(lp_u, jnp.clip(seg, 0, n_unique_max - 1), axis=0)
+    # capacity overflow is made LOUD, not silently wrong: NaN poisons
+    # the downstream energy, which the VMC/GFMC NaN guards abort on
+    lp_sorted = jnp.where(overflow[:, None], jnp.nan, lp_sorted)
     # unsort to the original flat order (sort by position payload)
     back = jax.lax.sort(
         (pos, lp_sorted[:, 0], lp_sorted[:, 1]), dimension=0, num_keys=1

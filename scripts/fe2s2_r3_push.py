@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--capacity-root", type=int, default=4096)
     ap.add_argument("--max-unique", type=int, default=24576)
     ap.add_argument("--eloc-batch", type=int, default=4096)
+    ap.add_argument("--eloc-dedup-max", type=int, default=None,
+                    help="REDUCE forward dedup capacity per eloc chunk")
     ap.add_argument("--grad-batch", type=int, default=8192)
     ap.add_argument("--k-det", type=int, default=512)
     ap.add_argument("--n-stoch", type=int, default=128)
@@ -135,6 +137,7 @@ def main():
         eloc_k_det=args.k_det,
         eloc_n_stoch=args.n_stoch,
         eloc_batch=args.eloc_batch,
+        eloc_dedup_max=args.eloc_dedup_max,
         grad_batch=args.grad_batch,
         log_every=50,
         log_path=os.path.join(REPO, f"logs/fe2s2_r3_{tag}.log"),

@@ -205,3 +205,22 @@ def test_reduce_unique_count_probe():
     # overlap in a small sector: unique must be well below total rows
     total = 32 * (1 + 24 + 8)
     assert 0 < int(n[0]) < total
+
+
+def test_dedup_eval_overflow_is_loud():
+    """Unique count beyond the static capacity must produce NaN (caught
+    by the VMC/GFMC guards), never silently-wrong amplitudes."""
+    from pynqs_tpu.energy.eloc import dedup_eval
+
+    rows = jnp.asarray(
+        np.unique(
+            np.random.default_rng(0).integers(0, 2, (64, 8)), axis=0
+        ).astype(np.int8)
+    )
+    fn = lambda b: jnp.zeros((b.shape[0], 2))  # noqa: E731
+    n_u = rows.shape[0]
+    lp_ok, nu = dedup_eval(fn, rows, n_u)
+    assert int(nu) == n_u and np.isfinite(np.asarray(lp_ok)).all()
+    lp_bad, nu2 = dedup_eval(fn, rows, n_u - 3)
+    assert int(nu2) == n_u
+    assert np.isnan(np.asarray(lp_bad)).any()
