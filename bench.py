@@ -3,12 +3,21 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the production path end to end: Graph-MPS-RNN (dcut=48, the
-Fe2S2 flagship configuration, trained checkpoint when present) with the
-semi-stochastic REDUCE local energy (k_det=512 / n_stoch=128, the
-training recipe) — fused Slater–Condon comb+Hij kernel, top-k screen,
-stratified CDF tail draws, and the Pallas fused ansatz forward for the
-ψ(m)/ψ(n) ratio evaluations.  The metric is ⟨n|H|m⟩ matrix elements
-produced-and-consumed per second per chip: B × (1 + n_sd) / step-time.
+Fe2S2 flagship ladder configuration, trained checkpoint when present)
+with the semi-stochastic REDUCE local energy (k_det=512 / n_stoch=128,
+the training recipe) — fused Slater–Condon comb+Hij kernel, tie-exact
+top-k screen + packed-sign single-gather selection, stratified CDF
+tail draws, per-chunk forward DEDUP (ψ once per unique connected
+determinant — reference use_unique), and the Pallas fused ansatz
+forward for the ψ(m)/ψ(n) ratio evaluations.  The metric is ⟨n|H|m⟩
+matrix elements produced-and-consumed per second per chip:
+B × (1 + n_sd) / step-time.
+
+Inputs are SAMPLES OF THE TRAINED STATE (round-3 change): production
+eloc always runs on the sampler's output, whose connected spaces
+overlap — random determinants would understate the dedup'd production
+rate.  Without a checkpoint the bench falls back to random inputs and
+no dedup (stated in the metric name).
 
 Measurement protocol (CLAUDE.md): inputs VARY per repetition (the axon
 tunnel caches identical dispatches), one TPU client, serial.
@@ -26,6 +35,7 @@ from functools import partial
 import numpy as np
 
 A100_HIJ_TERMS_PER_S = 1.0e8
+K_DET, N_STOCH, B = 512, 128, 2048
 
 
 def rand_dets(rng, n, sorb, noa, nob):
@@ -39,10 +49,14 @@ def rand_dets(rng, n, sorb, noa, nob):
 
 
 def main():
+    from pynqs_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
-    from pynqs_tpu.energy.eloc import local_energy_reduce
+    from pynqs_tpu.energy.eloc import local_energy_reduce, reduce_unique_count
     from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
     from pynqs_tpu.ops.fused_rnn import graph_mpsrnn_logpsi_fused
     from pynqs_tpu.utils import System
@@ -67,7 +81,8 @@ def main():
     )
     ck = os.path.join(os.path.dirname(__file__) or ".",
                       "checkpoints", "fe2s2_dcut48_final.pkl")
-    if os.path.exists(ck):
+    trained = os.path.exists(ck)
+    if trained:
         from pynqs_tpu.utils.checkpoint import load_params
 
         params = jax.tree.map(
@@ -83,12 +98,37 @@ def main():
     )
     table = sys_.excitation
 
-    B = 2048
     rng = np.random.default_rng(1)
-    batches = [
-        jnp.asarray(rand_dets(rng, B, sys_.sorb, sys_.noa, sys_.nob))
-        for _ in range(8)
-    ]
+    if trained:
+        # production input distribution: DFS-sample the trained state
+        from pynqs_tpu.sampler.ar import ar_sampling_dfs, compact_by_count
+
+        @jax.jit
+        def draw(key):
+            bits, counts, _ = ar_sampling_dfs(
+                model, params, key, 1_000_000, capacity=4096, n_group=4,
+                split_depth=6, capacity_root=4096,
+            )
+            return compact_by_count(bits, counts, B)[0]
+
+        batches = [draw(jax.random.PRNGKey(100 + i)) for i in range(8)]
+        # size the dedup capacity from the measured unique count (+30%)
+        n_u = int(
+            np.asarray(
+                reduce_unique_count(
+                    batches[0], ops, table, jax.random.PRNGKey(9),
+                    k_det=K_DET, n_stoch=N_STOCH, hpair=hpair,
+                )
+            )[0]
+        )
+        dedup = min(int(n_u * 1.3), B * (1 + K_DET + N_STOCH))
+    else:
+        batches = [
+            jnp.asarray(rand_dets(rng, B, sys_.sorb, sys_.noa, sys_.nob))
+            for _ in range(8)
+        ]
+        dedup = None
+
     fwd = partial(graph_mpsrnn_logpsi_fused, model, params)
     if jax.default_backend() == "cpu":  # no Mosaic off-TPU
         fwd = partial(model.log_psi, params)
@@ -97,7 +137,8 @@ def main():
     def eloc_fn(bits, key):
         return local_energy_reduce(
             fwd, bits, ops, table, key,
-            k_det=512, n_stoch=128, hpair=hpair,
+            k_det=K_DET, n_stoch=N_STOCH, hpair=hpair,
+            dedup_unique_max=dedup,
         )
 
     keys = [jax.random.PRNGKey(i) for i in range(8)]
