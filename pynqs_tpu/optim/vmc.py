@@ -61,6 +61,12 @@ class VMCConfig:
     # ``clip_window`` gradient norms).
     adaptive_clip_3sigma: bool = False
     clip_window: int = 100
+    # staged clip schedule (reference clip_grad_scheduler,
+    # example/Fe2S2/Fe2S2-OO-dcut-20.py:146-152: 0.1 -> 0.01 -> 0.001
+    # x max_grad_norm): callable iteration -> max-norm, overriding
+    # ``clip_grad``.  Host-side — the threshold is a dynamic step input
+    # so changing it never recompiles.
+    clip_schedule: object = None
     # DMRG-style freeze-and-sweep (reference FrozeSites,
     # mps_rnn.py:158): callable iteration -> gradient-mask pytree
     # (see optim/sweep.site_freeze_mask); None = all trainable.
@@ -214,7 +220,7 @@ class VMC:
             if self.cfg.param_mask_fn is not None:
                 grads = jax.tree.map(lambda g, m: g * m, grads, gmask)
             gnorm = optax.global_norm(grads)
-            if self.cfg.clip_grad is not None:
+            if self.cfg.clip_grad is not None or self.cfg.clip_schedule is not None:
                 scale = jnp.minimum(1.0, clip_val / jnp.maximum(gnorm, 1e-30))
                 grads = jax.tree.map(lambda g: g * scale, grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -373,6 +379,8 @@ class VMC:
             if self.cfg.profile_dir is not None and it == 2:
                 jax.profiler.start_trace(self.cfg.profile_dir)
             clip_val = self.cfg.clip_grad if self.cfg.clip_grad is not None else 0.0
+            if self.cfg.clip_schedule is not None:
+                clip_val = float(self.cfg.clip_schedule(it))
             if (
                 self.cfg.adaptive_clip_3sigma
                 and len(self._gnorms) >= self.cfg.clip_window

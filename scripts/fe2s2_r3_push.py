@@ -42,7 +42,15 @@ def main():
     ap.add_argument("--n-stoch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--lr-end", type=float, default=1e-5)
+    ap.add_argument("--sched", choices=["exp", "ref"], default="exp",
+                    help="'ref' = the reference flagship schedule "
+                    "max(lr*exp(-5e-4*step), lr_end) "
+                    "(example/Fe2S2/Fe2S2-OO-dcut-20.py:136-138)")
     ap.add_argument("--clip", type=float, default=0.1)
+    ap.add_argument("--clip-stages", type=str, default=None,
+                    help="'it1:v1,it2:v2,...' staged max-norm clip "
+                    "(reference clip_grad_scheduler); e.g. "
+                    "'0:0.01,3000:0.001'")
     ap.add_argument("--from-ckpt", type=str,
                     default=os.path.join(REPO, "checkpoints/fe2s2_r2_dcut96_final.pkl"))
     ap.add_argument("--resume", type=str, default=None)
@@ -125,14 +133,33 @@ def main():
         dfs_n_group=args.n_group, dfs_split_depth=args.split_depth,
         dfs_capacity_root=args.capacity_root, max_unique=args.max_unique,
     )
-    sched = optax.exponential_decay(
-        args.lr, args.iters, args.lr_end / args.lr
-    )
+    if args.sched == "ref":
+        def sched(step):
+            return jnp.maximum(args.lr * jnp.exp(-5e-4 * step), args.lr_end)
+    else:
+        sched = optax.exponential_decay(
+            args.lr, args.iters, args.lr_end / args.lr
+        )
+    clip_schedule = None
+    if args.clip_stages:
+        stages = sorted(
+            (int(p.split(":")[0]), float(p.split(":")[1]))
+            for p in args.clip_stages.split(",")
+        )
+
+        def clip_schedule(it, _stages=stages):
+            v = _stages[0][1]
+            for s_it, s_v in _stages:
+                if it >= s_it:
+                    v = s_v
+            return v
+
     tag = f"dcut{args.dcut}_{args.tag}"
     cfg = VMCConfig(
         n_iter=args.iters,
         optimizer=optax.adamw(sched),
         clip_grad=args.clip,
+        clip_schedule=clip_schedule,
         eloc_method="reduce",
         eloc_k_det=args.k_det,
         eloc_n_stoch=args.n_stoch,

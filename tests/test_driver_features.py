@@ -70,6 +70,37 @@ def test_n_sample_ramp_runs():
     assert len(hist) == 6 and np.isfinite(hist).all()
 
 
+def test_clip_schedule_applies():
+    """Staged max-norm clip (reference clip_grad_scheduler): a
+    schedule returning ~0 must freeze the parameters; a loose one must
+    not.  The threshold is a dynamic step input, so both runs share one
+    compiled program."""
+    sys, model = _setup()
+    sampler = ARSampler(sys.sorb, sys.noa, sys.nob, n_sample=512, capacity=16)
+    p0 = model.init(jax.random.PRNGKey(0))
+
+    import optax
+
+    def run(clip_fn):
+        vmc = VMC(
+            model, sys, sampler,
+            VMCConfig(
+                n_iter=2, clip_grad=None, clip_schedule=clip_fn,
+                optimizer=optax.sgd(1e-2),  # scale-sensitive (Adam isn't)
+                log_every=10**6,
+            ),
+        )
+        params, hist = vmc.run(jax.random.PRNGKey(1), params=p0)
+        assert np.isfinite(hist).all()
+        return jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()), params, p0),
+        )
+
+    assert run(lambda it: 1e-12) < 1e-9
+    assert run(lambda it: 10.0) > 1e-4
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from pynqs_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
