@@ -80,6 +80,30 @@ class System:
             hpair=None if t.Hpair is None else jnp.asarray(t.Hpair),
         )
 
+    def with_operator(
+        self, h1e_p: np.ndarray, h2e_p: np.ndarray, coeff: float = 1.0
+    ) -> "System":
+        """System whose Hamiltonian is H + coeff * O, with O given as
+        (dense h1e, compressed h2e) — e.g. ops.integrals.spin_raising.
+
+        The Slater–Condon tables are linear in the integrals, so the
+        penalized operator is just a summed-integral System (the
+        reference instead threads use_spin_raising flags through the
+        whole optimizer, vmc/optim/optimizer.py:245-297).  ``e_ref``
+        is kept: for a spin-pure target state the penalty expectation
+        vanishes at convergence.
+        """
+        import dataclasses
+
+        h1e_p = np.asarray(h1e_p, dtype=np.float64)
+        if h1e_p.ndim == 1:
+            h1e_p = h1e_p.reshape(self.sorb, self.sorb)
+        return dataclasses.replace(
+            self,
+            h1e=self.h1e + coeff * h1e_p,
+            h2e=self.h2e + coeff * np.asarray(h2e_p, dtype=np.float64),
+        )
+
     # ---------------- constructors ----------------
 
     @classmethod

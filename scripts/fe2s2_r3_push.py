@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--use-tensor", action="store_true")
     ap.add_argument("--max-preds", type=int, default=1,
                     help=">1: add extra max-|K| predecessor edges")
+    ap.add_argument("--spin-raising", type=float, default=0.0,
+                    help="train on H + c*S-S+ (reference use_spin_raising, "
+                    "example/Fe2S2/Fe2S2-OO-dcut-20.py:161-163); logged "
+                    "energy then includes the penalty")
     ap.add_argument("--tag", type=str, default="a")
     args = ap.parse_args()
 
@@ -80,6 +84,11 @@ def main():
     sys_ = System.from_pth(
         "/root/reference/example/Fe2S2/fe2s2-OO.pth", dtype=np.float32
     )
+    if args.spin_raising > 0:
+        from pynqs_tpu.ops.integrals import spin_raising
+
+        h1e_s, h2e_s = spin_raising(sys_.sorb)
+        sys_ = sys_.with_operator(h1e_s, h2e_s, args.spin_raising)
 
     graph = None
     if args.max_preds > 1:

@@ -94,3 +94,36 @@ def test_citrain_lsm_loss():
     params, hist = tr.run(jax.random.PRNGKey(0))
     assert hist[-1] < hist[0] * 0.5  # loss halved
     assert tr.overlap(params) > 0.9
+
+
+def test_with_operator_spin_raising_penalty():
+    """System.with_operator composes H + c*O at the integral level
+    (reference threads use_spin_raising through the optimizer instead,
+    example/Fe2S2/Fe2S2-OO-dcut-20.py:161-163).  The S-S+ penalty is
+    PSD and leaves a singlet ground state untouched."""
+    import numpy as np
+    import numpy.linalg as la
+    import jax.numpy as jnp
+
+    from pynqs_tpu.native import fci_space_bits
+    from pynqs_tpu.ops.hamiltonian import hij_dense
+    from pynqs_tpu.ops.integrals import precompute_hij_tables, spin_raising
+    from pynqs_tpu.utils import System
+
+    sys_ = System.hubbard_1d(4, 2, 2, u=4.0)
+    h1e_s, h2e_s = spin_raising(sys_.sorb)
+    c = 0.7
+    sys_p = sys_.with_operator(h1e_s, h2e_s, c)
+    space = jnp.asarray(fci_space_bits(sys_.sorb, sys_.noa, sys_.nob))
+
+    def dense(s):
+        ops = tuple(jnp.asarray(np.asarray(x)) for x in s.tables.astuple())
+        return np.asarray(hij_dense(space, space, *ops))
+
+    t_s = precompute_hij_tables(h1e_s, h2e_s, sys_.sorb, np.float64)
+    ops_s = tuple(jnp.asarray(x) for x in (t_s.h1e, t_s.h2e, t_s.diag1, t_s.K, t_s.J))
+    H, P = dense(sys_), dense(sys_p)
+    S = np.asarray(hij_dense(space, space, *ops_s))
+    assert np.abs(P - (H + c * S)).max() < 1e-12
+    assert abs(la.eigvalsh(H)[0] - la.eigvalsh(P)[0]) < 1e-10  # singlet gs
+    assert la.eigvalsh(S)[0] > -1e-12  # penalty PSD
