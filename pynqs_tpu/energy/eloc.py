@@ -176,10 +176,12 @@ def local_energy_reduce(
     the selected determinants' bit rows are rebuilt by XOR afterwards.
     Cuts scalar-core gather traffic ~20× at Fe2S2 scale.
 
-    ``topk``: "exact" (lax.top_k) or "approx" (lax.approx_max_k — the
-    TPU-optimized partial reduce).  Any deterministic top set keeps the
-    estimator unbiased (the tail draw covers whatever remains); approx
-    only perturbs the variance split.
+    ``topk``: "exact" (lax.top_k), "approx" (lax.approx_max_k — the
+    TPU-optimized partial reduce), or "segmax" (sort-free strided
+    segment winners — one max-reduce instead of a row sort).  Any
+    deterministic top set keeps the estimator unbiased (the tail draw
+    covers whatever remains); approx/segmax only perturb the variance
+    split.
     """
     h1e, h2e, diag1, K, J = tables
 
@@ -228,29 +230,60 @@ def local_energy_reduce(
             return _excite_bits(chunk_bits, orbs, sel_idx >= ns), sgn
 
         # deterministic top-k by |H|
-        if topk == "approx":
-            top_abs, top_idx = jax.lax.approx_max_k(absh, kd)
-        else:
-            top_abs, top_idx = jax.lax.top_k(absh, kd)  # [b, kd]
-        det_bits, det_sgn = unpack_sel(top_idx)  # [b, kd, sorb]
-
-        if slim:
-            det_h = det_sgn * top_abs
-            # residual tail WITHOUT a scatter: lax.top_k breaks ties by
-            # lowest index, so the selected set is exactly {|H| > thr}
-            # plus the first (kd - #greater) elements tied at thr
-            thr = top_abs[:, -1:]
-            gt = absh > thr
-            c1 = gt.sum(-1, keepdims=True)
-            eq = absh == thr
-            eq_excl = jnp.cumsum(eq.astype(jnp.int32), axis=-1) - eq.astype(
-                jnp.int32
+        if topk == "segmax":
+            # sort-free selection: strided segment winners.  Element j
+            # belongs to segment j % kd; the deterministic set is the
+            # per-segment argmax — NOT the exact global top-k, which is
+            # admissible (any deterministic set keeps the estimator
+            # unbiased; the tail draw covers whatever remains) and
+            # replaces the O(n log n) row sort of lax.top_k with one
+            # max-reduce + one-hot argmax, all VPU-friendly.  Big |H|
+            # elements cluster in contiguous excitation-index blocks
+            # (shared i,a pairs), so the stride decorrelates segments.
+            L = -(-n_off // kd)
+            pad = kd * L - n_off
+            a2 = jnp.pad(absh, ((0, 0), (0, pad))).reshape(b, L, kd)
+            top_abs = a2.max(axis=1)  # [b, kd]
+            eqm = a2 == top_abs[:, None, :]
+            first = (jnp.cumsum(eqm.astype(jnp.int32), axis=1) == 1) & eqm
+            loc = (first * jnp.arange(L, dtype=jnp.int32)[None, :, None]).sum(
+                axis=1
+            )  # [b, kd] argmax along the stride
+            top_idx = jnp.minimum(
+                loc * kd + jnp.arange(kd, dtype=jnp.int32)[None, :], n_off - 1
             )
-            in_top = gt | (eq & (eq_excl < (kd - c1)))
+            in_top = first.reshape(b, L * kd)[:, :n_off]
             resid = jnp.where(in_top, 0.0, absh)
+            det_bits, det_sgn = unpack_sel(top_idx)
+            det_h = (
+                det_sgn * top_abs
+                if slim
+                else jnp.take_along_axis(hij_off, top_idx, axis=1)
+            )
         else:
-            det_h = jnp.take_along_axis(hij_off, top_idx, axis=1)
-            resid = absh.at[jnp.arange(b)[:, None], top_idx].set(0.0)
+            if topk == "approx":
+                top_abs, top_idx = jax.lax.approx_max_k(absh, kd)
+            else:
+                top_abs, top_idx = jax.lax.top_k(absh, kd)  # [b, kd]
+            det_bits, det_sgn = unpack_sel(top_idx)  # [b, kd, sorb]
+
+            if slim:
+                det_h = det_sgn * top_abs
+                # residual tail WITHOUT a scatter: lax.top_k breaks ties
+                # by lowest index, so the selected set is exactly
+                # {|H| > thr} plus the first (kd - #greater) ties
+                thr = top_abs[:, -1:]
+                gt = absh > thr
+                c1 = gt.sum(-1, keepdims=True)
+                eq = absh == thr
+                eq_excl = jnp.cumsum(eq.astype(jnp.int32), axis=-1) - eq.astype(
+                    jnp.int32
+                )
+                in_top = gt | (eq & (eq_excl < (kd - c1)))
+                resid = jnp.where(in_top, 0.0, absh)
+            else:
+                det_h = jnp.take_along_axis(hij_off, top_idx, axis=1)
+                resid = absh.at[jnp.arange(b)[:, None], top_idx].set(0.0)
         s_tail = resid.sum(-1)  # [b]
         draw = _sample_tail_cdf(k, resid, n_stoch)  # [b, n_stoch]
         st_bits, st_sgn = unpack_sel(draw)
