@@ -53,6 +53,11 @@ def main():
                     "'0:0.01,3000:0.001'")
     ap.add_argument("--from-ckpt", type=str,
                     default=os.path.join(REPO, "checkpoints/fe2s2_r2_dcut96_final.pkl"))
+    ap.add_argument("--from-focus", type=str, default=None,
+                    help="warm-start from a converted FOCUS MPS file at "
+                    "the model dcut (reference flagship params_file, "
+                    "example/Fe2S2/Fe2S2-OO-dcut-20.py:88); overrides "
+                    "--from-ckpt")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--grow-from", type=int, default=None,
                     help="grow dcut from this checkpoint dcut")
@@ -108,7 +113,35 @@ def main():
 
     model = make(args.dcut)
     params = None
-    if args.resume is None:
+    if args.resume is None and args.from_focus is not None:
+        from pynqs_tpu.utils.mps_import import load_focus_mpsrnn
+
+        chain = make(args.dcut) if graph is None else GraphMPSRNN(
+            sys_.sorb, sys_.noa, sys_.nob, dcut=args.dcut,
+            phase_mode="arg", norm_mode="mpsrnn", dtype=jnp.float32,
+        )
+        params = load_focus_mpsrnn(args.from_focus, chain)
+        if graph is not None or args.use_tensor:
+            # re-merge into the structured model (extra pred slots /
+            # tensor K,U initialize near zero)
+            params = {k: np.asarray(v) for k, v in params.items()}
+            init = model.init(jax.random.PRNGKey(7))
+            merged = {}
+            for k, v in init.items():
+                if k in params and np.shape(params[k]) == np.shape(v):
+                    merged[k] = params[k]
+                elif k in params:
+                    pv = np.asarray(params[k])
+                    tgt = np.asarray(v) * 1e-2
+                    sl = tuple(slice(0, s) for s in pv.shape)
+                    tgt[sl] = pv
+                    merged[k] = tgt
+                else:
+                    merged[k] = np.asarray(v) * 1e-2
+            params = jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.float32), merged
+            )
+    elif args.resume is None:
         params = load_params(args.from_ckpt)
         if isinstance(params, dict) and "params" in params:
             params = params["params"]
