@@ -40,6 +40,8 @@ __all__ = [
     "ar_sampling_sharded",
     "ar_sampling_slabbed",
     "ar_sampling_dfs",
+    "ar_sampling_gumbel",
+    "gumbel_importance_weights",
     "compact_by_count",
 ]
 
@@ -531,3 +533,133 @@ def ar_sampling_sharded(
     bits, counts = fn(params)
     dropped = n_sample - counts.sum()
     return bits, counts, dropped
+
+
+def _log1mexp(x):
+    """log(1 - e^x) for x <= 0, stable near both ends."""
+    return jnp.where(
+        x > -0.693,
+        jnp.log(-jnp.expm1(jnp.minimum(x, -1e-30))),
+        jnp.log1p(-jnp.exp(x)),
+    )
+
+
+def _log1pexp(x):
+    """log(1 + e^x) without overflow."""
+    return jnp.where(x < 18.0, jnp.log1p(jnp.exp(jnp.minimum(x, 18.0))), x)
+
+
+def ar_sampling_gumbel(model, params, key: jax.Array, capacity: int):
+    """Stochastic beam search: AR sampling WITHOUT replacement.
+
+    Gumbel-top-k over complete determinants, drawn ancestrally by
+    propagating conditional Gumbels down the AR tree (Kool et al.,
+    JMLR 21(47); the reference's experimental `gumbels_sample`,
+    vmc/ansatz/rnn/graph_mpsrnn.py:1448-1496 `sample_gumbels_given_max`).
+    Each live branch carries its prefix log-probability ``logq`` and a
+    Gumbel value ``G``; children draw Gumbels conditioned on their max
+    equalling the parent's ``G`` (so the leaf marginals match i.i.d.
+    Gumbel perturbation of the full leaf set), and the beam keeps the
+    ``capacity`` largest.  The surviving leaves are exactly the
+    ``capacity`` distinct determinants of a Gumbel-top-k draw — a
+    sample without replacement from |ψ|².
+
+    Returns (bits [C, sorb] int8, logq [C], G [C], alive [C] bool).
+    Use :func:`gumbel_importance_weights` for unbiased estimators.
+    """
+    sorb = model.sorb
+    nps = model.sites_per_step
+    ncat = 2**nps
+    n_steps = sorb // nps
+    C = capacity
+    noa, nob = model.noa, model.nob
+    site_order = getattr(model, "site_order", None)
+    if site_order is None:
+        site_order = list(range(n_steps)) if nps == 2 else None
+    NEG = -1e30
+
+    bits = jnp.zeros((C, sorb), dtype=jnp.int8)
+    logq = jnp.full((C,), NEG).at[0].set(0.0)
+    key, k0 = jax.random.split(key)
+    G = jnp.full((C,), NEG).at[0].set(jax.random.gumbel(k0, ()))
+    used_a = jnp.zeros((C,), dtype=jnp.int32)
+    used_b = jnp.zeros((C,), dtype=jnp.int32)
+    prev = jnp.zeros((C,), dtype=jnp.int32)
+    carry = model.ar_init(params, C)
+
+    for k in range(n_steps):
+        kk = jax.random.fold_in(key, k)
+        logp, carry = model.ar_step(params, carry, k, prev)
+        if nps == 2:
+            rem = n_steps - k - 1
+            mask = mask_two_site(used_a, used_b, noa, nob, rem, rem)
+        else:
+            rem = sorb // 2 - k // 2 - 1
+            if k % 2 == 0:
+                mask = mask_one_site(used_a, noa, rem)
+            else:
+                mask = mask_one_site(used_b, nob, rem)
+        logp = apply_mask_logp(logp, mask)
+
+        child_lq = logq[:, None] + logp  # [C, ncat]
+        g = child_lq + jax.random.gumbel(kk, (C, ncat))
+        Z = jnp.max(g, axis=-1, keepdims=True)
+        is_max = g == Z
+        # shift so the children's max equals the parent's G exactly
+        # (numerically stable form, Kool et al. appendix B)
+        v = G[:, None] - g + _log1mexp(jnp.minimum(g - Z, -1e-30))
+        cond_g = G[:, None] - jnp.maximum(v, 0.0) - _log1pexp(-jnp.abs(v))
+        cond_g = jnp.where(is_max, G[:, None], cond_g)
+        dead = (logq <= NEG / 2)[:, None] | (child_lq <= NEG / 2)
+        cond_g = jnp.where(dead, NEG, cond_g)
+
+        flat_g = cond_g.reshape(-1)
+        top_g, top_idx = jax.lax.top_k(flat_g, C)
+        parent = top_idx // ncat
+        val = (top_idx % ncat).astype(jnp.int32)
+
+        bits = jnp.take(bits, parent, axis=0)
+        used_a = jnp.take(used_a, parent, axis=0)
+        used_b = jnp.take(used_b, parent, axis=0)
+        carry = _gather_rows(carry, parent)
+        logq = child_lq.reshape(-1)[top_idx]
+        G = top_g
+
+        if nps == 2:
+            s = int(site_order[k])
+            a_bit = (val & 1).astype(jnp.int8)
+            b_bit = ((val >> 1) & 1).astype(jnp.int8)
+            bits = bits.at[:, 2 * s].set(a_bit)
+            bits = bits.at[:, 2 * s + 1].set(b_bit)
+            used_a = used_a + a_bit
+            used_b = used_b + b_bit
+        else:
+            v8 = val.astype(jnp.int8)
+            bits = bits.at[:, k].set(v8)
+            if k % 2 == 0:
+                used_a = used_a + v8
+            else:
+                used_b = used_b + v8
+        prev = val
+
+    alive = logq > NEG / 2
+    return bits, logq, G, alive
+
+
+def gumbel_importance_weights(logq, G, alive):
+    """Unbiased estimator weights for a Gumbel-top-k draw.
+
+    With threshold κ = the smallest kept Gumbel (that leaf is dropped
+    from the estimator), E[Σ_i w_i f_i] = Σ_i p_i f_i for the
+    remaining leaves:  w_i = p_i / P(G_i > κ) with
+    P(G_i > κ) = 1 − exp(−exp(logq_i − κ))  (Kool et al. eq. 14).
+
+    Returns (w [C], keep [C] bool).  Self-normalize (w / w.sum()) for
+    expectation estimates of normalized quantities.
+    """
+    NEG = -1e30
+    kappa = jnp.min(jnp.where(alive, G, -NEG))
+    keep = alive & (G > kappa)
+    p_gt = -jnp.expm1(-jnp.exp(logq - kappa))
+    w = jnp.where(keep, jnp.exp(logq) / jnp.maximum(p_gt, 1e-300), 0.0)
+    return w, keep

@@ -255,3 +255,51 @@ def test_vmc_with_dfs_sampler_runs_and_descends():
     params, hist = vmc.run(jax.random.PRNGKey(0))
     assert np.isfinite(hist).all()
     assert np.mean(hist[-10:]) < np.mean(hist[:10])
+
+
+def test_gumbel_sampling_without_replacement_unbiased():
+    """Stochastic beam search (ar_sampling_gumbel): rows are distinct,
+    and the threshold importance estimator (gumbel_importance_weights)
+    reproduces E_p[f] within 5 SE over repeated draws."""
+    from pynqs_tpu.sampler.ar import (
+        ar_sampling_gumbel,
+        gumbel_importance_weights,
+    )
+
+    sorb, noa, nob = 8, 2, 2
+    model = GraphMPSRNN(sorb, noa, nob, dcut=6)
+    params = model.init(jax.random.PRNGKey(2))
+    space = fci.fci_bits(sorb, noa, nob)
+    lp = np.asarray(model.log_psi(params, jnp.asarray(space)))
+    p = np.exp(2 * lp[:, 0])
+    p = p / p.sum()
+    # observable: f(n) = number of alpha electrons in the first 2 sites
+    def f_np(b):
+        return b[:, 0] + b[:, 2]
+
+    target = float((p * f_np(np.asarray(space))).sum())
+
+    C = 6  # < |space|, so the beam truncates
+    @jax.jit
+    def one(key):
+        bits, logq, G, alive = ar_sampling_gumbel(model, params, key, C)
+        w, keep = gumbel_importance_weights(logq, G, alive)
+        fv = (bits[:, 0] + bits[:, 2]).astype(jnp.float64)
+        return (w * fv).sum(), w.sum()
+
+    keys = jax.random.split(jax.random.PRNGKey(11), 400)
+    num, den = jax.lax.map(one, keys)
+    num, den = np.asarray(num), np.asarray(den)
+    # unnormalized estimator is exactly unbiased for sum_i p_i f_i
+    se = num.std() / np.sqrt(len(keys))
+    assert abs(num.mean() - target) < 5 * se + 1e-9, (num.mean(), target, se)
+    # total-mass estimator is unbiased for 1
+    se_d = den.std() / np.sqrt(len(keys))
+    assert abs(den.mean() - 1.0) < 5 * se_d + 1e-9, (den.mean(), se_d)
+
+    # distinctness of live rows in one draw
+    bits, logq, G, alive = ar_sampling_gumbel(
+        model, params, jax.random.PRNGKey(5), C
+    )
+    live = np.asarray(bits)[np.asarray(alive)]
+    assert len({tuple(r) for r in live}) == len(live)
