@@ -28,11 +28,12 @@ Two solvers:
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["sr_gradient", "sr_gradient_cg"]
+__all__ = ["sr_gradient", "sr_gradient_cg", "sr_gradient_blocked"]
 
 
 def sr_gradient(
@@ -234,3 +235,88 @@ def sr_gradient_cg(
 
     x, _, _, _ = jax.lax.fori_loop(0, n_cg, body, (x0, r0, p0, rs0))
     return x
+
+
+def sr_gradient_blocked(
+    model,
+    params,
+    bits: jax.Array,
+    weights: jax.Array,
+    eloc: jax.Array,
+    damping: float = 1e-3,
+    blocks: dict | None = None,
+):
+    """Block-diagonal SR — the K-FAC-family preconditioner.
+
+    The reference exposes K-FAC only as an optional external-library
+    hook (vmc/optim/_base.py:34-38,254-257: `import kfac` guarded, no
+    in-repo implementation).  The TPU-native equivalent implemented
+    here is the same approximation K-FAC makes at the Fisher level:
+    drop the cross-curvature BETWEEN parameter groups and invert each
+    group's Fisher block exactly,
+
+        dθ_b = (Re S_bb + λI)⁻¹ · 2 Re F_b ,
+
+    with one block per parameter tensor by default (``blocks`` maps
+    leaf name → block label to merge tensors into joint blocks; mapping
+    every leaf to one label recovers dense :func:`sr_gradient`
+    exactly).  Cost: Σ_b P_b² instead of P² — at Fe2S2 dcut=96 the
+    largest tensor block (M_re) is ~7% of P, so the solve is ~100×
+    cheaper than dense SR while keeping within-tensor curvature.
+
+    eloc: [B, 2] pair; weights: [B] (0 = dead row).
+    """
+    weights = jax.lax.stop_gradient(weights)
+    eloc = jax.lax.stop_gradient(eloc)
+    alive = weights > 0
+    eloc = jnp.where(alive[:, None], eloc, 0.0)
+    e_mean = weights @ eloc
+    cen = jnp.where(alive[:, None], eloc - e_mean, 0.0)  # [B, 2]
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    names = ["/".join(str(getattr(k, "key", k)) for k in path)
+             for path, _ in leaves]
+    if blocks is None:
+        labels = names
+    else:
+        labels = [blocks.get(n, n) for n in names]
+
+    def row(b):
+        gu = jax.grad(lambda p: model.log_psi(p, b[None, :])[0, 0])(params)
+        gv = jax.grad(lambda p: model.log_psi(p, b[None, :])[0, 1])(params)
+        return gu, gv
+
+    Gu, Gv = jax.vmap(row)(bits)  # pytrees, leading axis B
+    gu_leaves = [l for _, l in jax.tree_util.tree_flatten_with_path(Gu)[0]]
+    gv_leaves = [l for _, l in jax.tree_util.tree_flatten_with_path(Gv)[0]]
+
+    B = bits.shape[0]
+    out_leaves = [None] * len(leaves)
+    order = {}
+    for i, lab in enumerate(labels):
+        order.setdefault(lab, []).append(i)
+    for lab, idxs in order.items():
+        sizes = [int(np.prod(leaves[i][1].shape)) if leaves[i][1].shape else 1
+                 for i in idxs]
+        Ob = jnp.concatenate(
+            [
+                jnp.stack(
+                    [gu_leaves[i].reshape(B, -1), gv_leaves[i].reshape(B, -1)],
+                    axis=1,
+                )
+                for i in idxs
+            ],
+            axis=-1,
+        )  # [B, 2, Pb]
+        Ob = jnp.where(alive[:, None, None], Ob, 0.0)
+        o_mean = jnp.einsum("n,ncp->cp", weights, Ob)
+        Oc = jnp.where(alive[:, None, None], Ob - o_mean, 0.0)
+        S = jnp.einsum("n,ncp,ncq->pq", weights, Oc, Oc)
+        F = 2.0 * jnp.einsum("n,nc,ncp->p", weights, cen, Oc)
+        A = S + damping * jnp.eye(S.shape[0], dtype=S.dtype)
+        d = jax.scipy.linalg.solve(A, F, assume_a="pos")
+        off = 0
+        for i, sz in zip(idxs, sizes):
+            out_leaves[i] = d[off:off + sz].reshape(leaves[i][1].shape)
+            off += sz
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)

@@ -44,7 +44,9 @@ class VMCConfig:
     log_every: int = 25
     use_sr: bool = False  # stochastic reconfiguration preconditioning
     sr_damping: float = 1e-3
-    sr_solver: str = "dense"  # "dense" [P,P] | "cg" matrix-free min-SR
+    # "dense" [P,P] | "cg" matrix-free min-SR | "blocked" per-tensor
+    # block-diagonal (the K-FAC-family preconditioner, grad/sr.py)
+    sr_solver: str = "dense"
     sr_n_cg: int = 50
     checkpoint_path: str | None = None
     checkpoint_interval: int = 100
@@ -209,6 +211,13 @@ class VMC:
                         self.model, params, bits, w, eloc,
                         damping=self.cfg.sr_damping, n_cg=self.cfg.sr_n_cg,
                         jac_batch=self.cfg.grad_batch,
+                    )
+                elif self.cfg.sr_solver == "blocked":
+                    from pynqs_tpu.grad.sr import sr_gradient_blocked
+
+                    grads = sr_gradient_blocked(
+                        self.model, params, bits, w, eloc,
+                        damping=self.cfg.sr_damping,
                     )
                 else:
                     from pynqs_tpu.grad.sr import sr_gradient

@@ -301,3 +301,42 @@ def test_freeze_and_sweep_masks_gradients_per_site():
         )
     )
     assert sched[0] == (0, [0, 1]) and sched[2][1] == [2, 3]
+
+
+def test_blocked_sr_single_block_equals_dense_and_blocks_descend():
+    """Block-diagonal SR (K-FAC-family, sr_gradient_blocked): mapping
+    every tensor to ONE block recovers dense SR exactly; the default
+    per-tensor blocking yields a finite ascent direction (positive
+    overlap with the raw energy gradient)."""
+    from pynqs_tpu.grad.sr import sr_gradient, sr_gradient_blocked
+    from pynqs_tpu.energy.eloc import local_energy_simple as les
+
+    sys = System.hubbard_1d(6, 2, 2, u=4.0)
+    bits = jnp.asarray(fci.fci_bits(sys.sorb, sys.noa, sys.nob))
+    model = RBM(sorb=sys.sorb, alpha=2, param_type="complex")
+    params = model.init(jax.random.PRNGKey(0))
+    lp = model.log_psi(params, bits)
+    w = jnp.exp(2 * (lp[:, 0] - lp[:, 0].max()))
+    w = w / w.sum()
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    eloc = les(partial(model.log_psi, params), bits, ops, sys.excitation)
+
+    gd = sr_gradient(model, params, bits, w, eloc, damping=1e-2)
+    one = {k: "all" for k in params}
+    gb1 = sr_gradient_blocked(
+        model, params, bits, w, eloc, damping=1e-2, blocks=one
+    )
+    fd, _ = jax.flatten_util.ravel_pytree(gd)
+    f1, _ = jax.flatten_util.ravel_pytree(gb1)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(fd), rtol=1e-8)
+
+    gb = sr_gradient_blocked(model, params, bits, w, eloc, damping=1e-2)
+    fb, _ = jax.flatten_util.ravel_pytree(gb)
+    assert np.isfinite(np.asarray(fb)).all()
+    # preconditioned direction still correlates with the raw gradient
+    # (S is PSD per block => x^T S^{-1} x > 0 for the same F)
+    from pynqs_tpu.grad.energy_grad import energy_and_grad
+
+    _, g_raw, _ = energy_and_grad(model, params, bits, w, eloc)
+    fr, _ = jax.flatten_util.ravel_pytree(g_raw)
+    assert float(fb @ fr) > 0.0
