@@ -1,0 +1,123 @@
+"""Clean final-state evaluation of a trained Fe2S2 checkpoint.
+
+Reports, under the truncation-free DFS measure (n = 1e7 by default):
+  * E (REDUCE, k_det/n_stoch raised for low tail variance) in mHa vs
+    the reference e_ref = -116.6056 (FCI-quality e_lst[0]),
+  * the spin-raising monitor <S-S+> (reference flagship
+    only_output_spin_raising, example/Fe2S2/Fe2S2-OO-dcut-20.py:161-164
+    — logged, never trained on),
+  * the dropped sampling mass (truncation diagnostic).
+
+  python scripts/eval_fe2s2_final.py checkpoints/fe2s2_r3_dcut20_ref20.pkl
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt")
+    ap.add_argument("--dcut", type=int, default=20)
+    ap.add_argument("--n-sample", type=int, default=10_000_000)
+    ap.add_argument("--n-group", type=int, default=8)
+    ap.add_argument("--split-depth", type=int, default=8)
+    ap.add_argument("--capacity", type=int, default=4096)
+    ap.add_argument("--k-det", type=int, default=1024)
+    ap.add_argument("--n-stoch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--n-rep", type=int, default=4,
+                    help="independent sample/eloc repetitions")
+    args = ap.parse_args()
+
+    from pynqs_tpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pynqs_tpu.energy.eloc import local_energy_reduce
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.ops.fused_rnn import graph_mpsrnn_logpsi_fused
+    from pynqs_tpu.ops.integrals import precompute_hij_tables, spin_raising
+    from pynqs_tpu.sampler.ar import ar_sampling_dfs
+    from pynqs_tpu.utils import System
+    from pynqs_tpu.utils.checkpoint import load_params
+
+    sys_ = System.from_pth(
+        "/root/reference/example/Fe2S2/fe2s2-OO.pth", dtype=np.float32
+    )
+    model = GraphMPSRNN(
+        sys_.sorb, sys_.noa, sys_.nob, dcut=args.dcut,
+        phase_mode="arg", norm_mode="mpsrnn", dtype=jnp.float32,
+    )
+    params = load_params(args.ckpt)
+    if isinstance(params, dict) and "params" in params:
+        params = params["params"]
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+
+    ops = tuple(jnp.asarray(np.asarray(x), jnp.float32)
+                for x in sys_.tables.astuple())
+    hpair = (None if sys_.tables.hpair is None
+             else jnp.asarray(np.asarray(sys_.tables.hpair), jnp.float32))
+    ts = precompute_hij_tables(
+        *spin_raising(sys_.sorb), sys_.sorb, np.float32
+    )
+    ops_s = tuple(jnp.asarray(x) for x in (ts.h1e, ts.h2e, ts.diag1, ts.K, ts.J))
+    hp_s = None if ts.Hpair is None else jnp.asarray(ts.Hpair)
+
+    fwd = partial(graph_mpsrnn_logpsi_fused, model, params)
+    if jax.default_backend() == "cpu":
+        fwd = partial(model.log_psi, params)
+
+    @jax.jit
+    def one(key):
+        bits, counts, dropped = ar_sampling_dfs(
+            model, params, key, args.n_sample, capacity=args.capacity,
+            n_group=args.n_group, split_depth=args.split_depth,
+            capacity_root=args.capacity,
+        )
+        w = counts.astype(jnp.float32) / jnp.maximum(counts.sum(), 1)
+        kw = dict(k_det=args.k_det, n_stoch=args.n_stoch, batch=args.batch)
+        el = local_energy_reduce(
+            fwd, bits, ops, sys_.excitation,
+            jax.random.fold_in(key, 1), hpair=hpair, **kw)
+        sl = local_energy_reduce(
+            fwd, bits, ops_s, sys_.excitation,
+            jax.random.fold_in(key, 2), hpair=hp_s, **kw)
+        e = (w * el[:, 0]).sum()
+        var = (w * (el[:, 0] - e) ** 2).sum()
+        s = (w * sl[:, 0]).sum()
+        return e, var, s, dropped
+
+    es, vs, ss, ds = [], [], [], []
+    for i in range(args.n_rep):
+        t0 = time.time()
+        e, var, s, dropped = (np.asarray(x) for x in one(jax.random.PRNGKey(1000 + i)))
+        es.append(float(e) + sys_.ecore)
+        vs.append(float(var))
+        ss.append(float(s))
+        ds.append(float(dropped) / args.n_sample)
+        print(f"rep {i}: E = {es[-1]:.6f} Ha  "
+              f"({(es[-1] - sys_.e_ref) * 1000:+.3f} mHa)  "
+              f"sigma^2 = {vs[-1]:.4g}  <S-S+> = {ss[-1]:.4f}  "
+              f"dropped = {ds[-1]:.3%}  t = {time.time() - t0:.1f}s",
+              flush=True)
+    e_m = float(np.mean(es))
+    se = float(np.std(es) / np.sqrt(len(es)))
+    print(f"\nFINAL  E = {e_m:.6f} +- {se:.6f} Ha   "
+          f"Delta = {(e_m - sys_.e_ref) * 1000:+.3f} mHa   "
+          f"<S-S+> = {np.mean(ss):.4f}   dropped = {np.mean(ds):.3%}")
+
+
+if __name__ == "__main__":
+    main()
