@@ -378,7 +378,12 @@ def graph_mpsrnn_logpsi_fused(
     if not fused_forward_available(model):
         raise ValueError("fused forward supports GraphMPSRNN (2-site)")
     norb, d, mp = model.norb, model.dcut, model.maxp
-    dp = _round_up(d, 64)
+    # dp tier: small models (the reference flagship runs dcut=20) pad
+    # to 32, not 64 — halves both the MXU work ([8dp, 2·mp·dp] @ TB)
+    # and the VPU elementwise work on z [8dp, TB].  All sublane block
+    # slices stay 8-aligned (2*dp = 64).  d > 32 keeps the measured
+    # 64-multiple tiling.
+    dp = 32 if d <= 32 else _round_up(d, 64)
     dcp = _round_up(model.dcut_cmpr, 8) if model.use_tensor else 0
     N = bits.shape[0]
     TB = block_rows
