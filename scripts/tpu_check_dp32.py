@@ -38,10 +38,20 @@ def rand_bits(rng, n, sorb, noa, nob):
     return out
 
 
-def check(dcut, sorb, noa, nob, n=2048, time_it=True):
+def check(dcut, sorb, noa, nob, n=2048, time_it=True, tensor=False):
+    kw = {}
+    if tensor:
+        from pynqs_tpu.utils.graph import dag_from_order
+
+        rng0 = np.random.default_rng(0)
+        w = np.abs(rng0.standard_normal((sorb // 2, sorb // 2)))
+        kw = dict(
+            graph=dag_from_order(list(range(sorb // 2)), w, max_preds=3),
+            use_tensor=True, dcut_cmpr=8,
+        )
     model = GraphMPSRNN(
         sorb, noa, nob, dcut=dcut, dtype=jnp.float32,
-        phase_mode="arg", norm_mode="mpsrnn",
+        phase_mode="arg", norm_mode="mpsrnn", **kw,
     )
     params = model.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(dcut)
@@ -74,4 +84,7 @@ if __name__ == "__main__":
     check(8, 12, 3, 3, n=1024, time_it=False)   # __graft_entry__ shape
     check(20, 40, 15, 15)                        # flagship dp=32
     check(48, 40, 15, 15)                        # dp=64 reference tier
+    # tensor coupling + multi-pred DAG at dp=32 (the plateau-attack
+    # model for the follow-on Fe2S2 run)
+    check(20, 40, 15, 15, tensor=True)
     print("DP32 TPU CHECK OK")
