@@ -85,6 +85,14 @@ class VMCConfig:
     # gradients always keep the XLA forward.
     fused_forward: bool | None = None
     fused_matmul_dtype: str = "bf16"  # "bf16" | "f32"
+    # Polyak / exponential moving average of the parameters.  At a
+    # finite learning-rate floor the iterates jitter around the basin
+    # (the Fe2S2 flagship moves ±50 mHa iter-to-iter at lr 5e-4);
+    # since E[θ] is variational the averaged point is typically lower
+    # in energy than the mean energy of the iterates.  The EMA tree is
+    # kept on device, saved in checkpoints under "ema", and exposed as
+    # ``vmc.ema_params`` after run().
+    ema_decay: float | None = None  # e.g. 0.999
 
 
 class VMC:
@@ -348,6 +356,21 @@ class VMC:
             if params is None:
                 params = self.model.init(k_init)
             opt_state = self.tx.init(params)
+        self.ema_params = None
+        ema_step = None
+        if self.cfg.ema_decay is not None:
+            d = float(self.cfg.ema_decay)
+            ema_step = jax.jit(
+                lambda e, p: jax.tree.map(
+                    lambda a, b: d * a + (1.0 - d) * b.astype(a.dtype), e, p
+                )
+            )
+            if resume_from is not None and ck.get("ema") is not None:
+                self.ema_params = jax.tree.map(
+                    lambda t, r: jnp.asarray(r, t.dtype), params, ck["ema"]
+                )
+            else:
+                self.ema_params = jax.tree.map(jnp.asarray, params)
         chain_state = self.sampler.init_state(k_init)
         # MCMC thermalization: extra burn-in sweeps once, before the
         # optimization loop (reference therm_step, vmc/sample.py:446)
@@ -407,6 +430,8 @@ class VMC:
                 params, opt_state, k, chain_state,
                 jnp.asarray(clip_val, jnp.float32), gmask,
             )
+            if ema_step is not None:
+                self.ema_params = ema_step(self.ema_params, params)
             self._gnorms.append(float(gnorm))
             if (
                 self.cfg.profile_dir is not None
@@ -455,6 +480,11 @@ class VMC:
                 save_checkpoint(
                     self.cfg.checkpoint_path, it, params, opt_state,
                     self.history,
+                    extra=(
+                        {"ema": self.ema_params}
+                        if self.ema_params is not None
+                        else None
+                    ),
                 )
         log.close()
         return params, self.history

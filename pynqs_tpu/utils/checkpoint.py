@@ -36,13 +36,16 @@ def _path(path: str) -> str:
     return path if path.endswith(".pkl") else path + ".pkl"
 
 
-def save_checkpoint(path: str, step: int, params, opt_state, history):
+def save_checkpoint(path: str, step: int, params, opt_state, history,
+                    extra: dict | None = None):
     tree = {
         "step": step,
         "params": _to_numpy(params),
         "opt_state": _to_numpy(opt_state),
         "history": list(history),
     }
+    if extra:
+        tree.update({k: _to_numpy(v) for k, v in extra.items()})
     with open(_path(path), "wb") as f:
         pickle.dump(tree, f)
 

@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--use-tensor", action="store_true")
     ap.add_argument("--max-preds", type=int, default=1,
                     help=">1: add extra max-|K| predecessor edges")
+    ap.add_argument("--ema", type=float, default=None,
+                    help="Polyak-average params with this decay "
+                         "(e.g. 0.999); saves <tag>_ema.pkl")
     ap.add_argument("--spin-raising", type=float, default=0.0,
                     help="train on H + c*S-S+ (reference use_spin_raising, "
                     "example/Fe2S2/Fe2S2-OO-dcut-20.py:161-163); logged "
@@ -208,6 +211,7 @@ def main():
         eloc_batch=args.eloc_batch,
         eloc_dedup_max=args.eloc_dedup_max,
         grad_batch=args.grad_batch,
+        ema_decay=args.ema,
         log_every=50,
         log_path=os.path.join(REPO, f"logs/fe2s2_r3_{tag}.log"),
         checkpoint_path=os.path.join(
@@ -225,6 +229,11 @@ def main():
     dt = time.time() - t0
     out = os.path.join(REPO, f"checkpoints/fe2s2_r3_{tag}.pkl")
     save_params(out, jax.tree.map(np.asarray, params))
+    if vmc.ema_params is not None:
+        save_params(
+            os.path.join(REPO, f"checkpoints/fe2s2_r3_{tag}_ema.pkl"),
+            jax.tree.map(np.asarray, vmc.ema_params),
+        )
     tail = np.mean(hist[-400:])
     best = np.min(hist)
     print(

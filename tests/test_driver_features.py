@@ -206,3 +206,38 @@ def test_sr_cg_jac_batch_matches_full():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9
         )
+
+
+def test_ema_params_tracked_and_resumed(tmp_path):
+    """ema_decay: vmc.ema_params is the Polyak average of the iterates
+    (≠ final params, finite, checkpointed under "ema" and restored)."""
+    import optax
+
+    sys, model = _setup()
+    sampler = ARSampler(sys.sorb, sys.noa, sys.nob, n_sample=200, capacity=32)
+    path = str(tmp_path / "ck_ema")
+    cfg = VMCConfig(
+        n_iter=4, optimizer=optax.sgd(5e-2), ema_decay=0.5,
+        checkpoint_path=path, checkpoint_interval=2, log_every=10**6,
+    )
+    vmc = VMC(model, sys, sampler, cfg)
+    params, hist = vmc.run(jax.random.PRNGKey(0))
+    assert vmc.ema_params is not None
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).sum()), vmc.ema_params, params
+        ),
+    )
+    assert np.isfinite(hist).all() and diff > 0  # averaged ≠ last iterate
+
+    from pynqs_tpu.utils.checkpoint import load_checkpoint
+
+    ck = load_checkpoint(path)
+    assert "ema" in ck
+    # resume restores the EMA tree rather than re-seeding from params
+    vmc2 = VMC(model, sys, sampler, cfg)
+    vmc2.run(jax.random.PRNGKey(1), n_iter=1, resume_from=path)
+    leaf = jax.tree.leaves(ck["ema"])[0]
+    leaf2 = jax.tree.leaves(vmc2.ema_params)[0]
+    assert np.asarray(leaf).shape == np.asarray(leaf2).shape
