@@ -86,7 +86,18 @@ def main():
             n_group=args.n_group, split_depth=args.split_depth,
             capacity_root=args.capacity,
         )
-        w = counts.astype(jnp.float32) / jnp.maximum(counts.sum(), 1)
+        # Rao-Blackwellized weights: exact |psi|^2 over the captured
+        # unique set (99.9x% of the mass under DFS) instead of the
+        # multinomial counts — removes the count noise entirely; the
+        # residual bias is the dropped-mass term (reported alongside).
+        live = (counts > 0).astype(jnp.float32)
+        lp = jax.lax.map(
+            lambda b: fwd(b)[:, 0],
+            bits.reshape(-1, args.batch, bits.shape[-1]),
+        ).reshape(-1)
+        p = live * jnp.exp(2.0 * (lp - jnp.max(lp)))
+        w_ex = p / p.sum()
+        w_ct = counts.astype(jnp.float32) / jnp.maximum(counts.sum(), 1)
         kw = dict(k_det=args.k_det, n_stoch=args.n_stoch, batch=args.batch)
         el = local_energy_reduce(
             fwd, bits, ops, sys_.excitation,
@@ -94,21 +105,26 @@ def main():
         sl = local_energy_reduce(
             fwd, bits, ops_s, sys_.excitation,
             jax.random.fold_in(key, 2), hpair=hp_s, **kw)
-        e = (w * el[:, 0]).sum()
-        var = (w * (el[:, 0] - e) ** 2).sum()
-        s = (w * sl[:, 0]).sum()
-        return e, var, s, dropped
+        e = (w_ex * el[:, 0]).sum()
+        e_ct = (w_ct * el[:, 0]).sum()
+        var = (w_ex * (el[:, 0] - e) ** 2).sum()
+        s = (w_ex * sl[:, 0]).sum()
+        return e, e_ct, var, s, dropped
 
-    es, vs, ss, ds = [], [], [], []
+    es, ecs, vs, ss, ds = [], [], [], [], []
     for i in range(args.n_rep):
         t0 = time.time()
-        e, var, s, dropped = (np.asarray(x) for x in one(jax.random.PRNGKey(1000 + i)))
+        e, e_ct, var, s, dropped = (
+            np.asarray(x) for x in one(jax.random.PRNGKey(1000 + i))
+        )
         es.append(float(e) + sys_.ecore)
+        ecs.append(float(e_ct) + sys_.ecore)
         vs.append(float(var))
         ss.append(float(s))
         ds.append(float(dropped) / args.n_sample)
         print(f"rep {i}: E = {es[-1]:.6f} Ha  "
               f"({(es[-1] - sys_.e_ref) * 1000:+.3f} mHa)  "
+              f"[count-weighted {(ecs[-1] - sys_.e_ref) * 1000:+.3f}]  "
               f"sigma^2 = {vs[-1]:.4g}  <S-S+> = {ss[-1]:.4f}  "
               f"dropped = {ds[-1]:.3%}  t = {time.time() - t0:.1f}s",
               flush=True)
