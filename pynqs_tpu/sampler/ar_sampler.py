@@ -66,6 +66,15 @@ class ARSampler:
     # as one sorted segment-sum inside the jitted program — GSPMD
     # inserts the cross-device collectives).
     mesh_mode: str = "same_tree"
+    # Rao-Blackwellized weights: replace the normalized multinomial
+    # counts with the exact |ψ|² measure renormalized over the CAPTURED
+    # unique set (rows with count > 0).  Since AR sampling is exact,
+    # counts are just a noisy estimate of p(x) — with a near-exhaustive
+    # capture (DFS dropped mass ≲0.05%) the exact weights remove the
+    # count noise from the energy/gradient at a truncation bias of
+    # order (dropped mass) × (E_dropped − E).  Applies to the exact-AR
+    # modes only (the weights reuse the lp forward already computed).
+    exact_weights: bool = False
 
     def init_state(self, key: jax.Array):
         return None
@@ -180,5 +189,13 @@ class ARSampler:
 
             bits, counts = compact_by_count(bits, counts, self.max_unique)
         lp = model.log_psi(params, bits)  # [C, 2] pair
-        w = counts.astype(lp.dtype) / jnp.maximum(counts.sum(), 1)
+        if self.exact_weights:
+            logw = jnp.where(
+                counts > 0, 2.0 * lp[..., 0], -jnp.inf
+            )
+            logw = logw - jax.lax.stop_gradient(jnp.max(logw))
+            p = jnp.exp(logw)
+            w = jax.lax.stop_gradient(p / p.sum())
+        else:
+            w = counts.astype(lp.dtype) / jnp.maximum(counts.sum(), 1)
         return bits, w, lp, None

@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--use-tensor", action="store_true")
     ap.add_argument("--max-preds", type=int, default=1,
                     help=">1: add extra max-|K| predecessor edges")
+    ap.add_argument("--exact-weights", action="store_true",
+                    help="Rao-Blackwellized |psi|^2 weights over the "
+                         "captured set instead of multinomial counts")
     ap.add_argument("--ema", type=float, default=None,
                     help="Polyak-average params with this decay "
                          "(e.g. 0.999); saves <tag>_ema.pkl")
@@ -177,6 +180,7 @@ def main():
         n_sample=args.n_sample, capacity=args.capacity,
         dfs_n_group=args.n_group, dfs_split_depth=args.split_depth,
         dfs_capacity_root=args.capacity_root, max_unique=args.max_unique,
+        exact_weights=args.exact_weights,
     )
     if args.sched == "ref":
         def sched(step):

@@ -107,3 +107,35 @@ def test_vmc_ar_rnn_reaches_fci():
     _, hist = vmc.run(jax.random.PRNGKey(3))
     err_mha = abs(np.mean(hist[-20:]) - e0) * 1000
     assert err_mha < 5.0, f"AR-RNN VMC error {err_mha:.3f} mHa vs FCI {e0:.6f}"
+
+
+def test_exact_weights_reproduce_full_space_measure():
+    """exact_weights=True with a full-space capture: the sampler's
+    weights must equal |ψ(x)|² exactly (Rao-Blackwellization), not the
+    multinomial count frequencies."""
+    sorb, noa, nob = 6, 2, 1
+    model = RNNWavefunction(sorb, noa, nob, hidden=8, phase_hidden=8)
+    params = model.init(jax.random.PRNGKey(3))
+    space = fci.fci_bits(sorb, noa, nob)
+
+    sampler = ARSampler(
+        sorb, noa, nob, n_sample=5000, capacity=space.shape[0],
+        exact_weights=True,
+    )
+    bits, w, lp, _ = sampler.sample(model, params, jax.random.PRNGKey(11))
+    w = np.asarray(w)
+    p_fwd = np.exp(2 * np.asarray(lp[..., 0]))
+    live = w > 0
+    # weights == renormalized |psi|^2 of the captured rows
+    np.testing.assert_allclose(
+        w[live], p_fwd[live] / p_fwd[live].sum(), rtol=1e-5
+    )
+    # full capture at n=5000 on a 15-det space: weights are the exact
+    # measure, so they also match the enumerated |psi|^2 per det
+    lookup = dict(zip(_pack_rows(space),
+                      np.exp(2 * np.asarray(
+                          model.log_psi(params, jnp.asarray(space))[..., 0]))))
+    cap = sum(lookup[r] for r, alive in zip(_pack_rows(bits), live) if alive)
+    for row, alive, wi in zip(_pack_rows(bits), live, w):
+        if alive:
+            np.testing.assert_allclose(wi, lookup[row] / cap, rtol=1e-5)
