@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--n-rep", type=int, default=4,
                     help="independent sample/eloc repetitions")
+    ap.add_argument("--fwd-dtype", choices=["bf16", "f32"], default="bf16",
+                    help="fused-forward matmul dtype: f32 tests whether "
+                         "bf16 MXU quantization of the ansatz recurrence "
+                         "inflates the variational energy (the reference "
+                         "trains in complex128)")
     args = ap.parse_args()
 
     from pynqs_tpu.utils.jaxcache import enable_compilation_cache
@@ -75,7 +80,9 @@ def main():
     ops_s = tuple(jnp.asarray(x) for x in (ts.h1e, ts.h2e, ts.diag1, ts.K, ts.J))
     hp_s = None if ts.Hpair is None else jnp.asarray(ts.Hpair)
 
-    fwd = partial(graph_mpsrnn_logpsi_fused, model, params)
+    mmdt = jnp.float32 if args.fwd_dtype == "f32" else jnp.bfloat16
+    fwd = partial(graph_mpsrnn_logpsi_fused, model, params,
+                  matmul_dtype=mmdt)
     if jax.default_backend() == "cpu":
         fwd = partial(model.log_psi, params)
 

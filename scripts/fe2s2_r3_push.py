@@ -64,6 +64,11 @@ def main():
     ap.add_argument("--use-tensor", action="store_true")
     ap.add_argument("--max-preds", type=int, default=1,
                     help=">1: add extra max-|K| predecessor edges")
+    ap.add_argument("--fwd-dtype", choices=["bf16", "f32"], default="bf16",
+                    help="fused eloc-forward matmul dtype; f32 also pins "
+                         "jax_default_matmul_precision=highest so the XLA "
+                         "sampling/grad forwards match (reference trains "
+                         "in complex128)")
     ap.add_argument("--exact-weights", action="store_true",
                     help="Rao-Blackwellized |psi|^2 weights over the "
                          "captured set instead of multinomial counts")
@@ -82,6 +87,12 @@ def main():
     enable_compilation_cache()
 
     import jax
+
+    if args.fwd_dtype == "f32":
+        # match the reference's full-precision ansatz arithmetic
+        # (param_dtype=torch.complex128): multi-pass f32 on every XLA
+        # matmul (sampling conditionals, AD forward) + f32 fused dots
+        jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     import optax
 
@@ -216,6 +227,7 @@ def main():
         eloc_dedup_max=args.eloc_dedup_max,
         grad_batch=args.grad_batch,
         ema_decay=args.ema,
+        fused_matmul_dtype=args.fwd_dtype,
         log_every=50,
         log_path=os.path.join(REPO, f"logs/fe2s2_r3_{tag}.log"),
         checkpoint_path=os.path.join(
