@@ -63,7 +63,11 @@ def check(dcut, sorb, noa, nob, n=2048, time_it=True, tensor=False):
     t0 = time.perf_counter()
     out = np.asarray(fwd(batches[0]))
     print(f"dcut={dcut}: compile+run {time.perf_counter()-t0:.1f}s")
-    ref = np.asarray(jax.jit(partial(model.log_psi, params))(batches[0]))
+    # the XLA reference MUST be precision-pinned: at the TPU default
+    # (single-pass bf16) the REFERENCE side carries ~3e-3 log-amp noise
+    # and the comparison measures XLA's quantization, not the kernel
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(jax.jit(partial(model.log_psi, params))(batches[0]))
     da = np.abs(out[:, 0] - ref[:, 0]).max()
     dp = np.abs(np.exp(1j * out[:, 1]) - np.exp(1j * ref[:, 1])).max()
     print(f"dcut={dcut}: |Δlog amp|={da:.2e}  |Δphase|={dp:.2e}")
