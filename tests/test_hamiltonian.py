@@ -149,6 +149,8 @@ def test_spin_raising_expectation():
     # S-S+ = S² - Sz² - Sz is positive semidefinite on Sz=0 sector
     evals = np.linalg.eigvalsh(Hs)
     assert evals.min() > -1e-10
+    # exact spectrum on Sz=0: S(S+1) for S=0,1,2 — {0, 2, 6}
+    assert set(np.round(evals, 8)) <= {0.0, 2.0, 6.0}
     # closed-shell HF det (doubly occupied lowest orbitals) is a singlet
     hf = oracle.bits_to_det(onv.hf_bits(sorb, noa, nob))
     i = dets.index(hf)
