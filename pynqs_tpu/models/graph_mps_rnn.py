@@ -133,6 +133,12 @@ class GraphMPSRNN:
     # the compressed index) at sites with ≥ 2 predecessors.
     use_tensor: bool = False
     dcut_cmpr: int = 4
+    # lax.scan over sites instead of a python-unrolled loop (compile
+    # time O(1) in sorb — round-2 VERDICT weak #10; the unrolled form
+    # costs 26-min cold compiles through the axon tunnel at sorb=40).
+    # Applies to single-predecessor graphs without tensor coupling;
+    # multi-pred / use_tensor models fall back to the unrolled paths.
+    scan_sites: bool = True
     # static tables, filled in __post_init__
     _order: tuple = field(default=None, repr=False)
     _pred: np.ndarray = field(default=None, repr=False)
@@ -159,6 +165,13 @@ class GraphMPSRNN:
             self, "_sgnA", onv_ops.permute_sgn_matrix(so_order)
         )
         object.__setattr__(self, "_so_order", so_order)
+        # pure chain in visiting order (pred[t] == order[t-1]): the
+        # teacher-forced scan form can then carry just the previous
+        # hidden instead of the full register file
+        is_chain = maxp == 1 and all(
+            pred[t, 0] == order[t - 1] for t in range(1, norb)
+        )
+        object.__setattr__(self, "_is_chain", bool(is_chain))
 
     @property
     def norb(self) -> int:
@@ -179,7 +192,11 @@ class GraphMPSRNN:
         shapeM = (norb, mp, 4, d, d)
 
         def nrm(kk, shape, scale):
-            return scale * jax.random.normal(kk, shape, self.dtype)
+            # float(scale): numpy f64 scalars would silently promote
+            # the whole parameter to f64 under jax_enable_x64
+            return jnp.asarray(
+                float(scale), self.dtype
+            ) * jax.random.normal(kk, shape, self.dtype)
 
         # near-identity init keeps early hidden states well-conditioned
         eye = jnp.broadcast_to(jnp.eye(d, dtype=self.dtype), shapeM)
@@ -212,6 +229,29 @@ class GraphMPSRNN:
 
     # ---------------- core site update ----------------
 
+    def _site_update_from(
+        self, M_re, M_im, v_re, v_im, eta, pmask, hp_re, hp_im
+    ):
+        """Core site transition from explicit per-site tensors.
+
+        hp_{re,im}: [B, mp, d] predecessor hiddens; M_*: [mp, 4, d, d];
+        v_*, eta: [4, d]; pmask: [mp].  Returns (ht_re, ht_im [B, 4, d],
+        logw [B, 4]).  Shared by the unrolled (static t) and lax.scan
+        (traced t) forms — identical ops so the two agree bitwise."""
+        # complex batched matvec, masked over padded predecessors
+        t_re = jnp.einsum("pxde,bpe->bxd", M_re, hp_re * pmask[None, :, None]) - jnp.einsum(
+            "pxde,bpe->bxd", M_im, hp_im * pmask[None, :, None]
+        )
+        t_im = jnp.einsum("pxde,bpe->bxd", M_re, hp_im * pmask[None, :, None]) + jnp.einsum(
+            "pxde,bpe->bxd", M_im, hp_re * pmask[None, :, None]
+        )
+        ht_re = t_re + v_re[None]
+        ht_im = t_im + v_im[None]
+        eta_sp = jax.nn.softplus(eta)[None]  # positive metric
+        w = (eta_sp * (ht_re**2 + ht_im**2)).sum(-1)  # [B, 4]
+        logw = jnp.log(jnp.maximum(w, 1e-30))
+        return ht_re, ht_im, logw
+
     def _site_update(self, params, t: int, h_re, h_im):
         """h_{re,im}: [B, norb, d] register file.  Returns per-value
         candidate hiddens and their log-weights for site index t (in
@@ -220,17 +260,11 @@ class GraphMPSRNN:
         pmask = jnp.asarray(self._pred_mask[t], self.dtype)  # [mp]
         hp_re = h_re[:, pred]  # [B, mp, d]
         hp_im = h_im[:, pred]
-        M_re = params["M_re"][t]  # [mp, 4, d, d]
-        M_im = params["M_im"][t]
-        # complex batched matvec, masked over padded predecessors
-        t_re = jnp.einsum("pxde,bpe->bxd", M_re, hp_re * pmask[None, :, None]) - jnp.einsum(
-            "pxde,bpe->bxd", M_im, hp_im * pmask[None, :, None]
+        ht_re, ht_im, logw = self._site_update_from(
+            params["M_re"][t], params["M_im"][t],
+            params["v_re"][t], params["v_im"][t], params["eta"][t],
+            pmask, hp_re, hp_im,
         )
-        t_im = jnp.einsum("pxde,bpe->bxd", M_re, hp_im * pmask[None, :, None]) + jnp.einsum(
-            "pxde,bpe->bxd", M_im, hp_re * pmask[None, :, None]
-        )
-        ht_re = t_re + params["v_re"][t][None]
-        ht_im = t_im + params["v_im"][t][None]
         n_pred = int(self._pred_mask[t].sum())
         if self.use_tensor and n_pred >= 2:
             # Δh̃(x) = K[x] · Π_p (U_p[x] h_p), compressed index c
@@ -258,9 +292,10 @@ class GraphMPSRNN:
             ht_im = ht_im + jnp.einsum("xdc,bxc->bxd", Kr, pr_im) + jnp.einsum(
                 "xdc,bxc->bxd", Ki, pr_re
             )
-        eta = jax.nn.softplus(params["eta"][t])[None]  # positive metric
-        w = (eta * (ht_re**2 + ht_im**2)).sum(-1)  # [B, 4]
-        logw = jnp.log(jnp.maximum(w, 1e-30))
+            # tensor delta shifted the candidates: recompute log-weights
+            eta = jax.nn.softplus(params["eta"][t])[None]
+            w = (eta * (ht_re**2 + ht_im**2)).sum(-1)  # [B, 4]
+            logw = jnp.log(jnp.maximum(w, 1e-30))
         return ht_re, ht_im, logw
 
     def _phase_site(self, params, t: int, x, h_re, h_im):
@@ -308,6 +343,8 @@ class GraphMPSRNN:
     # ---------------- forward ----------------
 
     def log_psi(self, params, bits: jax.Array) -> jax.Array:
+        if self.scan_ok and self._is_chain:
+            return self._log_psi_scan(params, bits)
         bits = bits.astype(jnp.int32)
         squeeze = bits.ndim == 1
         if squeeze:
@@ -374,3 +411,159 @@ class GraphMPSRNN:
         logp = logw - jax.scipy.special.logsumexp(logw, -1, keepdims=True)
         carry = {"h_re": h_re, "h_im": h_im, "cand_re": ht_re, "cand_im": ht_im}
         return logp, carry
+
+    # ---------------- scan-over-sites forms ----------------
+    #
+    # lax.scan forms of the AR step and the teacher-forced forward
+    # (round-2 VERDICT weak #10): the python-unrolled site loops
+    # compile in O(sorb) — 26-min cold compiles at sorb=40 through the
+    # axon tunnel, unusable at the reference's MAX_SORB_LEN=3 scale
+    # (sorb up to 192).  The per-site parameters already carry a
+    # leading ``norb`` axis, so lax.scan slices them directly; all ops
+    # keep the exact shapes of the unrolled forms (mp axis preserved),
+    # making the two paths agree bitwise (tests/test_scan_sites.py).
+    # Single-predecessor graphs only; use_tensor falls back.
+
+    @property
+    def scan_ok(self) -> bool:
+        return self.scan_sites and self.maxp == 1 and not self.use_tensor
+
+    def ar_scan_xs(self, params, k_from: int, k_to: int):
+        """Per-step scan inputs for steps [k_from, k_to)."""
+        sl = slice(k_from, k_to)
+        order = np.asarray(self._order)
+        # s_prev[k] = site finalized at step k (chosen at k-1); the
+        # k=0 entry writes the all-zero candidate into a still-zero
+        # register row — a no-op kept unconditional for scan shape
+        s_prev = np.concatenate([order[:1], order[:-1]])
+
+        def cast(x):
+            # keep the scan carry dtype-stable even when callers hand
+            # in f64 warm-start params under jax_enable_x64
+            return jnp.asarray(x, self.dtype)
+
+        return {
+            "M_re": cast(params["M_re"][sl]),
+            "M_im": cast(params["M_im"][sl]),
+            "v_re": cast(params["v_re"][sl]),
+            "v_im": cast(params["v_im"][sl]),
+            "eta": cast(params["eta"][sl]),
+            "pred": jnp.asarray(self._pred[sl]),
+            "pmask": jnp.asarray(self._pred_mask[sl], self.dtype),
+            "s": jnp.asarray(order[sl].astype(np.int32)),
+            "s_prev": jnp.asarray(s_prev[sl].astype(np.int32)),
+            "k": jnp.arange(k_from, k_to, dtype=jnp.int32),
+        }
+
+    def ar_step_scan(self, xs, carry, prev: jax.Array):
+        """`ar_step` with traced site index: xs = one slice of
+        :meth:`ar_scan_xs`.  Same ops as :meth:`ar_step`."""
+        h_re, h_im = carry["h_re"], carry["h_im"]
+        sel_re, sel_im = self._select_h(
+            carry["cand_re"], carry["cand_im"], prev
+        )
+        h_re = jax.lax.dynamic_update_slice(
+            h_re, sel_re[:, None, :], (jnp.int32(0), xs["s_prev"], jnp.int32(0))
+        )
+        h_im = jax.lax.dynamic_update_slice(
+            h_im, sel_im[:, None, :], (jnp.int32(0), xs["s_prev"], jnp.int32(0))
+        )
+        pred = xs["pred"]  # [mp] traced site ids
+        hp_re = jnp.concatenate(
+            [
+                jax.lax.dynamic_index_in_dim(h_re, pred[j], 1, keepdims=True)
+                for j in range(pred.shape[0])
+            ],
+            axis=1,
+        )  # [C, mp, d]
+        hp_im = jnp.concatenate(
+            [
+                jax.lax.dynamic_index_in_dim(h_im, pred[j], 1, keepdims=True)
+                for j in range(pred.shape[0])
+            ],
+            axis=1,
+        )
+        ht_re, ht_im, logw = self._site_update_from(
+            xs["M_re"], xs["M_im"], xs["v_re"], xs["v_im"], xs["eta"],
+            xs["pmask"], hp_re, hp_im,
+        )
+        logp = logw - jax.scipy.special.logsumexp(logw, -1, keepdims=True)
+        carry = {"h_re": h_re, "h_im": h_im, "cand_re": ht_re, "cand_im": ht_im}
+        return logp, carry
+
+    def _phase_site_xs(self, xs, x, h_re, h_im):
+        """:meth:`_phase_site` from scan slices."""
+        if self.phase_mode == "arg":
+            wr, wi = xs["w_arg_re"], xs["w_arg_im"]  # [d]
+            z_re = h_re @ wr - h_im @ wi + xs["c_arg_re"]
+            z_im = h_im @ wr + h_re @ wi + xs["c_arg_im"]
+            from pynqs_tpu.ops.cplx import safe_atan2
+
+            return safe_atan2(z_im, z_re)
+        hcat = jnp.concatenate([h_re, h_im], -1)
+        oh = jax.nn.one_hot(x, 4, dtype=hcat.dtype)
+        wv = oh @ xs["w_ph"]  # [B, 2d]
+        cv = oh @ xs["c_ph"]  # [B]
+        return (wv * hcat).sum(-1) + cv
+
+    def _log_psi_scan(self, params, bits: jax.Array) -> jax.Array:
+        """Chain-specialized lax.scan teacher-forced forward.
+
+        Carries only the previous site's hidden [B, d] (valid because
+        pred[t] == order[t-1] on chains — `_is_chain`), so AD residuals
+        stay O(norb · B · d) instead of O(norb² · B · d)."""
+        bits = bits.astype(jnp.int32)
+        squeeze = bits.ndim == 1
+        if squeeze:
+            bits = bits[None]
+        B = bits.shape[0]
+        norb, d = self.norb, self.dcut
+        order = list(self._order)
+
+        vals_canon = bits[:, 0::2] + 2 * bits[:, 1::2]  # [B, norb]
+        cum_a = jnp.cumsum(bits[:, 0::2][:, order], -1)
+        cum_b = jnp.cumsum(bits[:, 1::2][:, order], -1)
+        zeros = jnp.zeros((B, 1), cum_a.dtype)
+        used_a_seq = jnp.concatenate([zeros, cum_a[:, :-1]], 1)
+        used_b_seq = jnp.concatenate([zeros, cum_b[:, :-1]], 1)
+
+        xs = self.ar_scan_xs(params, 0, norb)
+        xs["x"] = vals_canon[:, order].T  # [norb, B]
+        xs["ua"] = used_a_seq.T
+        xs["ub"] = used_b_seq.T
+        if self.phase_mode == "arg":
+            for f in ("w_arg_re", "w_arg_im", "c_arg_re", "c_arg_im"):
+                xs[f] = params[f]
+        else:
+            xs["w_ph"], xs["c_ph"] = params["w_ph"], params["c_ph"]
+
+        from pynqs_tpu.sampler.symmetry import apply_mask_logp, mask_two_site
+
+        def body(carry, xt):
+            h_re, h_im, log_amp, phase = carry
+            x = xt["x"]
+            ht_re, ht_im, logw = self._site_update_from(
+                xt["M_re"], xt["M_im"], xt["v_re"], xt["v_im"], xt["eta"],
+                xt["pmask"], h_re[:, None, :], h_im[:, None, :],
+            )
+            rem = norb - xt["k"] - 1
+            mask = mask_two_site(xt["ua"], xt["ub"], self.noa, self.nob, rem, rem)
+            logp = apply_mask_logp(logw, mask)
+            oh = jax.nn.one_hot(x, 4, dtype=logp.dtype)
+            log_amp = log_amp + 0.5 * jnp.einsum("bx,bx->b", oh, logp)
+            sel_re, sel_im = self._select_h(ht_re, ht_im, x)
+            phase = phase + self._phase_site_xs(xt, x, sel_re, sel_im)
+            return (sel_re, sel_im, log_amp, phase), None
+
+        h0 = jnp.zeros((B, d), self.dtype)
+        (h_re, h_im, log_amp, phase), _ = jax.lax.scan(
+            body,
+            (h0, h0, jnp.zeros((B,), self.dtype), jnp.zeros((B,), self.dtype)),
+            xs,
+        )
+        sgn = onv_ops.permute_sgn(bits[:, self._so_order], jnp.asarray(self._sgnA))
+        phase = phase + params["global_phase"] + jnp.pi * (1 - sgn) / 2
+        from pynqs_tpu.ops import cplx
+
+        out = cplx.make(log_amp, phase.astype(self.dtype))
+        return out[0] if squeeze else out

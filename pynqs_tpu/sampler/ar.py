@@ -177,11 +177,34 @@ def ar_sampling(
     return bits, counts, dropped
 
 
+# test hook: force the python-unrolled path even for scan-capable
+# models (tests/test_scan_sites.py parity checks)
+_FORCE_UNROLLED = False
+
+
 def _ar_steps(
     model, params, key, state, k_from: int, k_to: int, site_order,
     exclude_sorted_keys=None, max_count: int | None = None,
 ):
-    """Advance the fixed-capacity AR state over steps [k_from, k_to)."""
+    """Advance the fixed-capacity AR state over steps [k_from, k_to).
+
+    Scan-capable models (single-predecessor graphs exposing
+    `ar_step_scan` — see models/graph_mps_rnn.py "scan-over-sites")
+    advance via one lax.scan whose body compiles once: compile time
+    O(1) instead of O(sorb) (round-2 VERDICT weak #10).  The scan body
+    runs the exact ops of the unrolled loop, so both paths produce
+    bitwise-identical samples."""
+    if (
+        not _FORCE_UNROLLED
+        and exclude_sorted_keys is None
+        and k_to > k_from
+        and model.sites_per_step == 2
+        and getattr(model, "scan_ok", False)
+        and hasattr(model, "ar_step_scan")
+    ):
+        return _ar_steps_scan(
+            model, params, key, state, k_from, k_to, max_count=max_count
+        )
     sorb = model.sorb
     nps = model.sites_per_step
     ncat = 2**nps
@@ -261,6 +284,47 @@ def _ar_steps(
         prev = val
 
     return bits, counts, used_a, used_b, prev, carry
+
+
+def _ar_steps_scan(
+    model, params, key, state, k_from: int, k_to: int,
+    max_count: int | None = None,
+):
+    """lax.scan form of `_ar_steps` (2-site scan-capable models)."""
+    n_steps = model.sorb // 2
+    noa, nob = model.noa, model.nob
+    bits0, counts0, used_a0, used_b0, prev0, carry0 = state
+    C = bits0.shape[0]
+    xs = model.ar_scan_xs(params, k_from, k_to)
+
+    def body(st, xt):
+        bits, counts, used_a, used_b, prev, carry = st
+        kk = jax.random.fold_in(key, xt["k"])
+        logp, carry = model.ar_step_scan(xt, carry, prev)
+        rem = n_steps - xt["k"] - 1
+        mask = mask_two_site(used_a, used_b, noa, nob, rem, rem)
+        logp = apply_mask_logp(logp, mask)
+        sub = multinomial_partition(kk, counts, logp, max_count=max_count)
+        flat = sub.reshape(-1)  # [C * 4]
+        top_counts, top_idx = jax.lax.top_k(flat, C)
+        parent = top_idx // 4
+        val = (top_idx % 4).astype(jnp.int32)
+        bits = jnp.take(bits, parent, axis=0)
+        used_a = jnp.take(used_a, parent, axis=0)
+        used_b = jnp.take(used_b, parent, axis=0)
+        carry = _gather_rows(carry, parent)
+        a_bit = (val & 1).astype(jnp.int8)
+        b_bit = ((val >> 1) & 1).astype(jnp.int8)
+        blk = jnp.stack([a_bit, b_bit], axis=1)  # columns (2s, 2s+1)
+        bits = jax.lax.dynamic_update_slice(bits, blk, (jnp.int32(0), 2 * xt["s"]))
+        used_a = used_a + a_bit
+        used_b = used_b + b_bit
+        return (bits, top_counts, used_a, used_b, val, carry), None
+
+    out, _ = jax.lax.scan(
+        body, (bits0, counts0, used_a0, used_b0, prev0, carry0), xs
+    )
+    return out
 
 
 def ar_sampling_slabbed(
