@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--n-rep", type=int, default=4,
                     help="independent sample/eloc repetitions")
+    ap.add_argument("--spin-project", type=int, default=0, choices=[-1, 0, 1],
+                    help="evaluate the spin-flip-projected state "
+                         "psi_P = (1 + eta*U_SF)/2 psi (models/extra."
+                         "SpinProjected): eta=-1 removes the odd-S "
+                         "(S=1,3,..) contamination of an Sz=0 state "
+                         "with N/2 even parity; sampling stays on the "
+                         "base |psi|^2, weights/ratios use psi_P")
     ap.add_argument("--fwd-dtype", choices=["bf16", "f32"], default="bf16",
                     help="fused-forward matmul dtype: f32 tests whether "
                          "bf16 MXU quantization of the ansatz recurrence "
@@ -85,6 +92,21 @@ def main():
                   matmul_dtype=mmdt)
     if jax.default_backend() == "cpu":
         fwd = partial(model.log_psi, params)
+
+    if args.spin_project:
+        from pynqs_tpu.ops import cplx as _cplx
+        from pynqs_tpu.ops import onv as _onv
+
+        base_fwd, eta = fwd, float(args.spin_project)
+
+        def fwd(bits):  # noqa: F811 — projected wavefunction
+            lp = base_fwd(bits)
+            lpf = base_fwd(_onv.spin_flip_bits(bits))
+            s = _onv.spin_flip_sign(bits).astype(lp.dtype)
+            lpf_signed = _cplx.make(
+                lpf[..., 0], lpf[..., 1] + jnp.pi * (1.0 - s) / 2.0
+            )
+            return _cplx.add_exp(lp, lpf_signed, 0.5, 0.5 * eta)
 
     @jax.jit
     def one(key):
