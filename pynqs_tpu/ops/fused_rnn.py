@@ -380,10 +380,16 @@ def graph_mpsrnn_logpsi_fused(
     norb, d, mp = model.norb, model.dcut, model.maxp
     # dp tier: small models (the reference flagship runs dcut=20) pad
     # to 32, not 64 — halves both the MXU work ([8dp, 2·mp·dp] @ TB)
-    # and the VPU elementwise work on z [8dp, TB].  All sublane block
-    # slices stay 8-aligned (2*dp = 64).  d > 32 keeps the measured
-    # 64-multiple tiling.
-    dp = 32 if d <= 32 else _round_up(d, 64)
+    # and the VPU elementwise work on z [8dp, TB].  A dp=48 tier keeps
+    # the Fe2S2 ladder's dcut=48 from paying the dp=64 pad (25% of the
+    # z rows).  All sublane block slices stay 8-aligned (2·dp ∈
+    # {64, 96, 128k}); above 64 the measured 64-multiple tiling wins.
+    if d <= 32:
+        dp = 32
+    elif d <= 48:
+        dp = 48
+    else:
+        dp = _round_up(d, 64)
     dcp = _round_up(model.dcut_cmpr, 8) if model.use_tensor else 0
     N = bits.shape[0]
     TB = block_rows

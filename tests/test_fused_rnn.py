@@ -46,15 +46,16 @@ def test_fused_matches_xla_chain(phase_mode, norm_mode):
 
 
 def test_fused_matches_xla_chain_large_dcut():
-    """dcut > 32 takes the 64-multiple dp tier (all the dcut<=32 tests
-    above now exercise the dp=32 tier)."""
-    model = GraphMPSRNN(
-        8, 2, 2, dcut=40, dtype=jnp.float32,
-        phase_mode="arg", norm_mode="mpsrnn",
-    )
-    params = model.init(jax.random.PRNGKey(7))
-    bits = jnp.asarray(fci.fci_bits(8, 2, 2))[:60]
-    _check(model, params, bits)
+    """dcut 33..48 takes the dp=48 tier; dcut > 48 the 64-multiple
+    tier (the dcut<=32 tests above exercise the dp=32 tier)."""
+    for d in (40, 50):
+        model = GraphMPSRNN(
+            8, 2, 2, dcut=d, dtype=jnp.float32,
+            phase_mode="arg", norm_mode="mpsrnn",
+        )
+        params = model.init(jax.random.PRNGKey(7))
+        bits = jnp.asarray(fci.fci_bits(8, 2, 2))[:60]
+        _check(model, params, bits)
 
 
 def test_fused_matches_xla_dag():
