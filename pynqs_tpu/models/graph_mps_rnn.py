@@ -455,9 +455,12 @@ class GraphMPSRNN:
             "k": jnp.arange(k_from, k_to, dtype=jnp.int32),
         }
 
-    def ar_step_scan(self, xs, carry, prev: jax.Array):
+    def ar_step_scan(self, params, xs, carry, prev: jax.Array):
         """`ar_step` with traced site index: xs = one slice of
-        :meth:`ar_scan_xs`.  Same ops as :meth:`ar_step`."""
+        :meth:`ar_scan_xs` (which already carries the per-site
+        parameter slices, so ``params`` is unused here).  Same ops as
+        :meth:`ar_step`."""
+        del params
         h_re, h_im = carry["h_re"], carry["h_im"]
         sel_re, sel_im = self._select_h(
             carry["cand_re"], carry["cand_im"], prev

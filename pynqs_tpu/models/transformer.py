@@ -77,6 +77,16 @@ class DecoderWavefunction:
     # the reference's softmax-sign draws counts ∝ softmax² instead
     # (decoder.py:405), an inconsistency we do not reproduce.
     norm_method: str = "softmax-log"
+    # lax.scan over positions in the AR driver (compile O(1) in sorb,
+    # same scheme as GraphMPSRNN.scan_sites — see sampler/ar.
+    # _ar_steps_scan).  The decoder step is position-independent apart
+    # from wpe[k] / the cache write position, so the scan needs no
+    # parameter stacking at all.
+    scan_sites: bool = True
+
+    @property
+    def scan_ok(self) -> bool:
+        return self.scan_sites
 
     @property
     def n_blocks(self) -> int:
@@ -233,13 +243,31 @@ class DecoderWavefunction:
         logp, _ph = self._raw_cond_logp(_dense(params["head"], h))
         return logp, carry
 
-    def _hidden_step(self, params, carry, k: int, prev: jax.Array):
-        """One cached decoding step: hidden [C, d_model] + updated cache."""
+    def ar_scan_xs(self, params, k_from: int, k_to: int):
+        """Scan inputs for the generic AR scan driver: the decoder
+        step needs only the position index (``s`` = identity visiting
+        order; parameters are position-independent)."""
+        ks = jnp.arange(k_from, k_to, dtype=jnp.int32)
+        return {"k": ks, "s": ks}
+
+    def ar_step_scan(self, params, xs, carry, prev: jax.Array):
+        """`ar_step` with a traced position index."""
+        return self.ar_step(params, carry, xs["k"], prev)
+
+    def _hidden_step(self, params, carry, k, prev: jax.Array):
+        """One cached decoding step: hidden [C, d_model] + updated cache.
+
+        ``k`` may be a python int (unrolled path) or a traced int32
+        scalar (scan path) — jnp indexing and `.at[].set` lower the
+        traced case to dynamic slices."""
         C = prev.shape[0]
-        tok = jnp.full((C,), 4, jnp.int32) if k == 0 else prev
+        if isinstance(k, (int, np.integer)):
+            tok = jnp.full((C,), 4, jnp.int32) if k == 0 else prev
+        else:
+            tok = jnp.where(jnp.equal(k, 0), jnp.int32(4), prev)
         toh = jax.nn.one_hot(tok, 5, dtype=params["wte"].dtype)
         h = toh @ params["wte"] + params["wpe"][k]  # [C, d]
-        pos_mask = (np.arange(self.n_blocks) <= k)[None, None, :]  # [1,1,L]
+        pos_mask = (jnp.arange(self.n_blocks) <= k)[None, None, :]  # [1,1,L]
         for li, blk in enumerate(params["blocks"]):
             x = _ln(blk["ln1"], h)
             qkv = _dense(blk["qkv"], x)

@@ -300,7 +300,7 @@ def _ar_steps_scan(
     def body(st, xt):
         bits, counts, used_a, used_b, prev, carry = st
         kk = jax.random.fold_in(key, xt["k"])
-        logp, carry = model.ar_step_scan(xt, carry, prev)
+        logp, carry = model.ar_step_scan(params, xt, carry, prev)
         rem = n_steps - xt["k"] - 1
         mask = mask_two_site(used_a, used_b, noa, nob, rem, rem)
         logp = apply_mask_logp(logp, mask)

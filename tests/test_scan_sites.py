@@ -98,6 +98,23 @@ def test_ar_sampling_dfs_scan_matches_unrolled(monkeypatch):
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
 
+@pytest.mark.parametrize("norm_method", ["softmax-log", "norm", "softmax-sign"])
+def test_transformer_ar_scan_matches_unrolled(monkeypatch, norm_method):
+    from pynqs_tpu.models.transformer import DecoderWavefunction
+
+    m = DecoderWavefunction(sorb=12, noa=3, nob=3, n_layer=2, n_head=2,
+                            d_model=16, dtype=jnp.float32,
+                            norm_method=norm_method)
+    params = m.init(jax.random.PRNGKey(8))
+    key = jax.random.PRNGKey(17)
+    b1, c1, d1 = ar.ar_sampling(m, params, key, 30_000, capacity=64)
+    monkeypatch.setattr(ar, "_FORCE_UNROLLED", True)
+    b2, c2, d2 = ar.ar_sampling(m, params, key, 30_000, capacity=64)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    assert int(d1) == int(d2)
+
+
 def test_tree_graph_ar_scan_matches_unrolled(monkeypatch):
     """Single-pred non-chain graph (a tree): AR scan keeps the register
     file, so it must agree too; log_psi falls back to unrolled."""
