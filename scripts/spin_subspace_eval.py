@@ -96,11 +96,11 @@ def main():
 
     th = sys_.tables
     ops_h = tuple(jnp.asarray(np.asarray(x), jnp.float64) for x in th.astuple())
-    hp_h = None if th.hpair is None else jnp.asarray(np.asarray(th.hpair), jnp.float64)
+    hp_h = None  # CPU: triangle-gather path beats the one-hot MXU path
     ts = precompute_hij_tables(*spin_raising(sys_.sorb), sys_.sorb, np.float64)
     ops_s = tuple(jnp.asarray(x, jnp.float64)
                   for x in (ts.h1e, ts.h2e, ts.diag1, ts.K, ts.J))
-    hp_s = None if ts.Hpair is None else jnp.asarray(ts.Hpair, jnp.float64)
+    hp_s = None  # CPU: gather path
 
     def pair_of(u):
         mag = np.abs(u)
