@@ -358,7 +358,12 @@ class WavefunctionLUT:
         scalar probes — CPU), or "auto"."""
         m = self.sorted_keys.shape[0]
         if method == "auto":
-            method = "mxu" if m <= (1 << 16) else "merge"
+            if jax.default_backend() == "cpu":
+                # the one-hot MXU matmul is a TPU trick; on CPU it is
+                # an O(Q·M) dense product — log2(M) bisection wins
+                method = "bisect"
+            else:
+                method = "mxu" if m <= (1 << 16) else "merge"
         if method == "merge":
             vals2d = (
                 self.values[:, None] if self.values.ndim == 1 else self.values
