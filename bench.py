@@ -138,6 +138,8 @@ def main():
         return local_energy_reduce(
             fwd, bits, ops, table, key,
             k_det=K_DET, n_stoch=N_STOCH, hpair=hpair,
+            topk="segmax",  # sort-free selection: unbiased (tested,
+            # tests/test_sampling_r2.py gradient-quality gate), -12 ms
             dedup_unique_max=dedup,
         )
 

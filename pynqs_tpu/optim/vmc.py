@@ -32,6 +32,10 @@ class VMCConfig:
     eloc_method: str = "simple"  # "simple" | "reduce"
     eloc_k_det: int = 256  # REDUCE: deterministic top-k terms
     eloc_n_stoch: int = 64  # REDUCE: stochastic tail draws
+    # REDUCE deterministic-set selection: "exact" (lax.top_k row sort),
+    # "segmax" (sort-free strided segment winners — measured -12 ms on
+    # the flagship step, unbiased by construction), "approx"
+    eloc_topk: str = "exact"
     # AD microbatch rows (reference MAX_AD_DIM): backward-pass
     # activations scale with this, not the sample-buffer size
     grad_batch: int | None = None
@@ -193,6 +197,7 @@ class VMC:
                     n_stoch=self.cfg.eloc_n_stoch,
                     batch=self.cfg.eloc_batch,
                     hpair=self._hpair,
+                    topk=self.cfg.eloc_topk,
                     dedup_unique_max=self.cfg.eloc_dedup_max,
                 )
             else:
@@ -283,6 +288,7 @@ class VMC:
                 jax.random.fold_in(key, 77),
                 k_det=self.cfg.eloc_k_det, n_stoch=self.cfg.eloc_n_stoch,
                 batch=self.cfg.eloc_batch, hpair=hp,
+                topk=self.cfg.eloc_topk,
             )
         else:
             oloc = local_energy_simple(

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--grad-batch", type=int, default=8192)
     ap.add_argument("--k-det", type=int, default=512)
     ap.add_argument("--n-stoch", type=int, default=128)
+    ap.add_argument("--topk", choices=["exact", "segmax", "approx"],
+                    default="exact",
+                    help="REDUCE deterministic-set selection; segmax "
+                    "is ~15%% faster per step (PERF.md round-3)")
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--lr-end", type=float, default=1e-5)
     ap.add_argument("--sched", choices=["exp", "ref"], default="exp",
@@ -223,6 +227,7 @@ def main():
         eloc_method="reduce",
         eloc_k_det=args.k_det,
         eloc_n_stoch=args.n_stoch,
+        eloc_topk=args.topk,
         eloc_batch=args.eloc_batch,
         eloc_dedup_max=args.eloc_dedup_max,
         grad_batch=args.grad_batch,

@@ -303,3 +303,64 @@ def test_gumbel_sampling_without_replacement_unbiased():
     )
     live = np.asarray(bits)[np.asarray(alive)]
     assert len({tuple(r) for r in live}) == len(live)
+
+
+def test_vmc_segmax_selection_gradient_unbiased():
+    """Gradient-quality gate for eloc_topk='segmax' (the sort-free
+    production/bench selection, PERF.md round-3 -12 ms): the covariance
+    gradient is LINEAR in the per-sample eloc vector, so an unbiased
+    eloc estimator gives an unbiased gradient — verify E_keys[g(segmax
+    REDUCE eloc)] == g(SIMPLE exact eloc) on a DENSE-Hij system (random
+    molecular-type integrals; Hubbard is too sparse — k_det covers
+    every nonzero term and the test would be vacuous)."""
+    from functools import partial
+
+    from pynqs_tpu.energy.eloc import local_energy_reduce, local_energy_simple
+    from pynqs_tpu.grad.energy_grad import energy_and_grad
+    from pynqs_tpu.models.rbm import RBM
+    from pynqs_tpu.ops.integrals import triangle_size
+    from pynqs_tpu.utils import System
+
+    rng = np.random.default_rng(11)
+    sorb = 8
+    h1e = rng.standard_normal((sorb, sorb)) * 0.2
+    h1e = (h1e + h1e.T) / 2
+    h2e = rng.standard_normal(triangle_size(sorb)) * 0.05
+    sys = System.from_integrals(h1e, h2e, sorb, 2, 2, dtype=np.float64)
+    model = RBM(sorb=sorb, alpha=2, param_type="complex")
+    params = model.init(jax.random.PRNGKey(0))
+    space = jnp.asarray(fci.fci_bits(sorb, 2, 2))
+    bits = space[:24]
+    w = jnp.full((24,), 1.0 / 24)
+    fn = partial(model.log_psi, params)
+    ops = [jnp.asarray(np.asarray(x)) for x in sys.tables.astuple()]
+
+    k_det, n_stoch = 8, 16
+    # non-vacuous: the deterministic set must NOT cover all nonzero |H|
+    from pynqs_tpu.ops.hamiltonian import comb_hij
+
+    _, hij = comb_hij(bits, *ops, None, table=sys.excitation, with_comb=False)
+    assert int((np.abs(np.asarray(hij))[:, 1:] > 1e-12).sum(1).min()) > k_det
+
+    def flat_grad(eloc):
+        _, g, _ = energy_and_grad(model, params, bits, w, eloc)
+        return np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g)])
+
+    g_ref = flat_grad(
+        local_energy_simple(fn, bits, ops, sys.excitation)
+    )
+
+    @jax.jit
+    def one(key):
+        return local_energy_reduce(
+            fn, bits, ops, sys.excitation, key,
+            k_det=k_det, n_stoch=n_stoch, topk="segmax",
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 200)
+    gs = np.stack([flat_grad(one(k)) for k in keys])
+    # segmax must actually differ from SIMPLE per draw (non-vacuous)
+    assert np.abs(gs - g_ref).max() > 1e-8
+    mean, se = gs.mean(0), gs.std(0) / np.sqrt(len(keys))
+    assert (np.abs(mean - g_ref) < 5 * se + 1e-9).all(), (
+        np.abs(mean - g_ref).max(), se.max())
