@@ -110,8 +110,9 @@ def _excite_bits(bits, orbs, is_double):
     return jnp.bitwise_xor(bits[:, None, :].astype(jnp.int8), flips % 2)
 
 
-def _sample_tail_cdf(key, resid, n_stoch: int, block: int = 128):
-    """Stratified inverse-CDF draws [b, n_stoch] with P(j) ∝ resid[:, j].
+def _sample_tail_cdf_blkloc(key, resid, n_stoch: int, block: int = 128):
+    """Stratified inverse-CDF draws with P(j) ∝ resid[:, j], returned
+    as (block index [b, n_stoch], within-block offset [b, n_stoch]).
 
     The TPU replacement for jax.random.categorical (whose Gumbel trick
     broadcasts logits to [b, n_stoch, n_sd] — 54 ms at Fe2S2 scale):
@@ -141,7 +142,45 @@ def _sample_tail_cdf(key, resid, n_stoch: int, block: int = 128):
         "bsn,bnc->bsc", oh, cb, precision=jax.lax.Precision.HIGHEST
     )  # [b, n_stoch, block]
     loc = (cand < u[:, :, None]).sum(-1).astype(jnp.int32)
+    return blk, jnp.minimum(loc, block - 1)
+
+
+def _sample_tail_cdf(key, resid, n_stoch: int, block: int = 128):
+    """Flat stratified inverse-CDF draw indices [b, n_stoch] — see
+    :func:`_sample_tail_cdf_blkloc`."""
+    b, n = resid.shape
+    blk, loc = _sample_tail_cdf_blkloc(key, resid, n_stoch, block)
     return jnp.minimum(blk * block + loc, n - 1)
+
+
+def _onehot_fetch_i32(blk, loc, flat_i32, block: int = 128):
+    """Exact gather-free fetch of ``flat_i32[b, blk*block + loc]``.
+
+    Per-row dynamic gathers run on the TPU scalar core (~5-9 ns/elem);
+    instead the selected 128-wide block is pulled with one-hot MXU
+    matmuls over FOUR 8-bit bf16 fields (integers ≤ 255 are exact in
+    bf16; f32 einsums would silently truncate to bf16 at the TPU
+    default precision), then the within-block element is an exact
+    int32 mask-reduce on the VPU.  Values may use up to 31 bits.
+    """
+    b, n = flat_i32.shape
+    nb = -(-n // block)
+    pad = nb * block - n
+    t = jnp.pad(flat_i32, [(0, 0), (0, pad)]) if pad else flat_i32
+    tb = t.reshape(b, nb, block)
+    ohb = jax.nn.one_hot(blk, nb, dtype=jnp.bfloat16)  # [b, s, nb]
+    cand = jnp.zeros(blk.shape + (block,), jnp.int32)
+    for shift in (0, 8, 16, 24):
+        f = ((tb >> shift) & 0xFF).astype(jnp.bfloat16)
+        cf = jnp.einsum(
+            "bsn,bnc->bsc", ohb, f, preferred_element_type=jnp.float32
+        )
+        cand = cand | (cf.astype(jnp.int32) << shift)
+    ohl = (
+        loc[..., None]
+        == jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    )
+    return jnp.where(ohl, cand, 0).sum(-1)
 
 
 def local_energy_reduce(
@@ -216,8 +255,7 @@ def local_energy_reduce(
         if slim:
             opack = opack | jnp.where(hij_off < 0, jnp.int32(1) << 28, 0)
 
-        def unpack_sel(sel_idx):
-            op = jnp.take_along_axis(opack, sel_idx, axis=1)
+        def unpack_fields(op):
             orbs = jnp.stack(
                 [(op >> (ow * s)) & ((1 << ow) - 1) for s in range(4)],
                 axis=-1,
@@ -227,6 +265,11 @@ def local_energy_reduce(
                 if slim
                 else None
             )
+            return orbs, sgn
+
+        def unpack_sel(sel_idx):
+            op = jnp.take_along_axis(opack, sel_idx, axis=1)
+            orbs, sgn = unpack_fields(op)
             return _excite_bits(chunk_bits, orbs, sel_idx >= ns), sgn
 
         # deterministic top-k by |H|
@@ -254,12 +297,18 @@ def local_energy_reduce(
             )
             in_top = first.reshape(b, L * kd)[:, :n_off]
             resid = jnp.where(in_top, 0.0, absh)
-            det_bits, det_sgn = unpack_sel(top_idx)
-            det_h = (
-                det_sgn * top_abs
-                if slim
-                else jnp.take_along_axis(hij_off, top_idx, axis=1)
-            )
+            if slim:
+                # gather-free payload pickup: the winner mask IS the
+                # one-hot over strides — an exact int32 mask-reduce on
+                # the VPU replaces the [b, kd] scalar-core gather
+                a2o = jnp.pad(opack, ((0, 0), (0, pad))).reshape(b, L, kd)
+                op_sel = jnp.where(first, a2o, 0).sum(axis=1)  # [b, kd]
+                orbs_sel, det_sgn = unpack_fields(op_sel)
+                det_bits = _excite_bits(chunk_bits, orbs_sel, top_idx >= ns)
+                det_h = det_sgn * top_abs
+            else:
+                det_bits, _ = unpack_sel(top_idx)
+                det_h = jnp.take_along_axis(hij_off, top_idx, axis=1)
         else:
             if topk == "approx":
                 top_abs, top_idx = jax.lax.approx_max_k(absh, kd)
@@ -285,11 +334,17 @@ def local_energy_reduce(
                 det_h = jnp.take_along_axis(hij_off, top_idx, axis=1)
                 resid = absh.at[jnp.arange(b)[:, None], top_idx].set(0.0)
         s_tail = resid.sum(-1)  # [b]
-        draw = _sample_tail_cdf(k, resid, n_stoch)  # [b, n_stoch]
-        st_bits, st_sgn = unpack_sel(draw)
+        blk_t, loc_t = _sample_tail_cdf_blkloc(k, resid, n_stoch)
+        draw = jnp.minimum(blk_t * 128 + loc_t, n_off - 1)  # [b, n_stoch]
         if slim:
+            # gather-free tail payload: one-hot block fetch (exact
+            # 8-bit bf16 fields) instead of the [b, n_stoch] gather
+            op_t = _onehot_fetch_i32(blk_t, loc_t, opack)
+            orbs_t, st_sgn = unpack_fields(op_t)
+            st_bits = _excite_bits(chunk_bits, orbs_t, draw >= ns)
             st_h = st_sgn  # only the sign enters the tail estimator
         else:
+            st_bits, _ = unpack_sel(draw)
             st_h = jnp.take_along_axis(hij_off, draw, axis=1)
 
         # one fused forward over [self | det | stoch]

@@ -105,7 +105,17 @@ def comb_hij(
     # lookups then use STATIC slot indices (pos), avoiding the
     # per-element dynamic take_along_axis gathers that dominate on TPU
     # (43 ms each at [512, 7725] vs ~3 ms for a static-index take).
-    pm = jnp.take_along_axis(prefix, merged, axis=-1)  # [B, sorb]
+    if dtype == jnp.float32:
+        # gather-free: merged is a per-row permutation, prefix counts
+        # are < sorb ≤ 127 — both exact in bf16, so one single-pass
+        # one-hot matmul replaces the [B, sorb] scalar-core gather
+        ohm = jax.nn.one_hot(merged, sorb, dtype=jnp.bfloat16)
+        pm = jnp.einsum(
+            "bsq,bq->bs", ohm, prefix.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+    else:
+        pm = jnp.take_along_axis(prefix, merged, axis=-1)  # [B, sorb]
     cnts = jnp.take(pm, pos, axis=-1)  # [B, n_sd, 4] prefix @ (i, a, j, b)
 
     # ---- diagonal ----
@@ -120,7 +130,35 @@ def comb_hij(
     orb_s = orbs[:, :ns, :]  # [B, ns, 4]
     i_s = orb_s[..., 0]
     a_s = orb_s[..., 1]
-    val_s = jnp.take_along_axis(s_full, i_s * sorb + a_s, axis=-1)  # [B, ns]
+    if dtype == jnp.float32 and ns > 0:
+        # gather-free singles pickup: select S[b, i, a] through a
+        # one-hot contraction over i (bf16-exact one-hot × 3-way
+        # bf16-split integral side, f32 accumulate — f32-faithful)
+        # and an exact masked reduce over a.  Replaces the [B, ns]
+        # scalar-core gather.
+        s3 = s_full.reshape(-1, sorb, sorb)
+        oh_i = jax.nn.one_hot(i_s, sorb, dtype=jnp.bfloat16)
+
+        def _sp3(x):
+            hi = x.astype(jnp.bfloat16)
+            r1 = x - hi.astype(jnp.float32)
+            lo = r1.astype(jnp.bfloat16)
+            lo2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo, lo2
+
+        x_sq = sum(
+            jnp.einsum(
+                "bsp,bpq->bsq", oh_i, s_k,
+                preferred_element_type=jnp.float32,
+            )
+            for s_k in _sp3(s3)
+        )  # [B, ns, sorb]
+        mask_a = a_s[..., None] == jnp.arange(sorb, dtype=a_s.dtype)
+        val_s = jnp.where(mask_a, x_sq, 0.0).sum(-1)
+    else:
+        val_s = jnp.take_along_axis(
+            s_full, i_s * sorb + a_s, axis=-1
+        )  # [B, ns]
     cnt_ia = cnts[:, :ns, 0] + cnts[:, :ns, 1] - (i_s < a_s)
     sgn_s = _parity_from_count(cnt_ia).astype(dtype)
     hij_s = val_s * sgn_s
@@ -153,15 +191,46 @@ def comb_hij(
         hi_v = jnp.maximum(v1, v2)
         lo_v = jnp.minimum(v1, v2)
         pv = hi_v * (hi_v - 1) // 2 + lo_v  # [B, n_v]
-        # one-hot × integral-value selections: HIGH (3-pass bf16) is
-        # f32-faithful to ~1e-7 relative — the 2× cheaper sweet spot
-        # (single-pass DEFAULT truncates integrals ~4e-3 relative and
-        # corrupted round-1 energies; 6-pass HIGHEST buys nothing here)
-        _H3 = jax.lax.Precision.HIGH
-        Pv = jax.nn.one_hot(pv, npair, dtype=dtype)  # [B, n_v, npair]
-        T = jnp.einsum("bvp,pq->bvq", Pv, hpair, precision=_H3)
-        Po = jax.nn.one_hot(po, npair, dtype=dtype)  # [B, n_u, npair]
-        W = jnp.einsum("bup,bvp->buv", Po, T, precision=_H3)  # [B, n_u, n_v]
+        # one-hot × integral-value selections.  The one-hot operand is
+        # EXACT in bf16 (0/1), so instead of Precision.HIGH (3-pass
+        # bf16 splitting of BOTH operands) split only the integral
+        # side into three bf16 terms (hi + lo + lo2 carries ≥24
+        # mantissa bits — f32-faithful like HIGH) and keep the one-hot
+        # side single-pass bf16: same pass count, HALF the HBM traffic
+        # of the dominant [B, n_u, npair] operand (~2.8 GB f32 at
+        # Fe2S2 B=2048).  Single-pass DEFAULT on the integral side
+        # truncates to 8-bit mantissas and corrupted round-1 energies.
+        if dtype == jnp.float32:
+            Pv = jax.nn.one_hot(pv, npair, dtype=jnp.bfloat16)
+            Po = jax.nn.one_hot(po, npair, dtype=jnp.bfloat16)
+
+            def _split3(x):
+                hi = x.astype(jnp.bfloat16)
+                r1 = x - hi.astype(jnp.float32)
+                lo = r1.astype(jnp.bfloat16)
+                lo2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+                return hi, lo, lo2
+
+            T = sum(
+                jnp.einsum(
+                    "bvp,pq->bvq", Pv, h_k,
+                    preferred_element_type=jnp.float32,
+                )
+                for h_k in _split3(hpair)
+            )  # [B, n_v, npair] f32
+            W = sum(
+                jnp.einsum(
+                    "bup,bvp->buv", Po, t_k,
+                    preferred_element_type=jnp.float32,
+                )
+                for t_k in _split3(T)
+            )  # [B, n_u, n_v] f32
+        else:
+            # f64 path (CPU tests/oracles): plain full precision
+            Pv = jax.nn.one_hot(pv, npair, dtype=dtype)
+            T = jnp.einsum("bvp,pq->bvq", Pv, hpair, precision=_HI)
+            Po = jax.nn.one_hot(po, npair, dtype=dtype)
+            W = jnp.einsum("bup,bvp->buv", Po, T, precision=_HI)
         uv = jnp.asarray(
             table.u_of_k.astype(np.int64) * table.vpairs.shape[0]
             + table.v_of_k

@@ -156,3 +156,67 @@ def test_spin_raising_expectation():
     i = dets.index(hf)
     # HF singlet: S-S+|HF> has zero diagonal? <HF|S-S+|HF> = 0 for RHF singlet
     np.testing.assert_allclose(Hs[i, i], 0.0, atol=1e-10)
+
+
+def test_comb_hij_hpair_f32_split_matches_triangle_gather():
+    """The f32 hpair doubles path (bf16 one-hots × 3-way bf16-split
+    integral side, f32 accumulation) must be f32-faithful: compare
+    against the exact flat triangle gather on the same f32 system."""
+    from pynqs_tpu.utils import System
+    from pynqs_tpu.ops.integrals import triangle_size
+
+    rng = np.random.default_rng(21)
+    sorb, noa, nob = 12, 3, 3
+    h1e = rng.standard_normal((sorb, sorb)) * 0.3
+    h1e = (h1e + h1e.T) / 2
+    h2e_c = rng.standard_normal(triangle_size(sorb)) * 0.2
+    sys = System.from_integrals(h1e, h2e_c, sorb, noa, nob, dtype=np.float32)
+    assert sys.tables.hpair is not None
+    table = sys.excitation
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    hp = jnp.asarray(np.asarray(sys.tables.hpair))
+    assert ops[0].dtype == jnp.float32
+
+    space = oracle.fci_space(sorb, noa, nob)
+    pick = rng.choice(len(space), size=16, replace=False)
+    bits = jnp.asarray(
+        np.stack([oracle.det_to_bits(space[i], sorb) for i in pick])
+    )
+    _, hij_gather = comb_hij(bits, *ops, None, table=table, with_comb=False)
+    _, hij_split = comb_hij(bits, *ops, hp, table=table, with_comb=False)
+    a, b = np.asarray(hij_gather), np.asarray(hij_split)
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 2e-6 * scale, np.abs(a - b).max()
+
+
+def test_comb_hij_f32_onehot_paths_match_f64():
+    """The whole f32 comb_hij (bf16 one-hot pm re-index, split-precision
+    singles pickup, split-precision hpair doubles) vs the f64 reference
+    path on the same integrals: f32-faithful matrix elements."""
+    from pynqs_tpu.utils import System
+    from pynqs_tpu.ops.integrals import triangle_size
+
+    rng = np.random.default_rng(33)
+    sorb, noa, nob = 12, 4, 3
+    h1e = rng.standard_normal((sorb, sorb)) * 0.4
+    h1e = (h1e + h1e.T) / 2
+    h2e_c = rng.standard_normal(triangle_size(sorb)) * 0.15
+    s32 = System.from_integrals(h1e, h2e_c, sorb, noa, nob, dtype=np.float32)
+    s64 = System.from_integrals(h1e, h2e_c, sorb, noa, nob, dtype=np.float64)
+    space = oracle.fci_space(sorb, noa, nob)
+    pick = rng.choice(len(space), size=20, replace=False)
+    bits = jnp.asarray(
+        np.stack([oracle.det_to_bits(space[i], sorb) for i in pick])
+    )
+
+    def run(sys):
+        ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+        hp = (None if sys.tables.hpair is None
+              else jnp.asarray(np.asarray(sys.tables.hpair)))
+        _, hij = comb_hij(bits, *ops, hp, table=sys.excitation,
+                          with_comb=False)
+        return np.asarray(hij, np.float64)
+
+    a, b = run(s64), run(s32)
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 2e-6 * scale, np.abs(a - b).max()
