@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["load_focus_mpsrnn", "grow_dcut"]
+__all__ = ["load_focus_mpsrnn", "grow_dcut", "structural_warm_start"]
 
 
 def grow_dcut(params: dict, model_old, model_new) -> dict:
@@ -120,3 +120,44 @@ def load_focus_mpsrnn(path: str, model):
     params["eta"] = jnp.ones((norb, 4, d), model.dtype)
     params["global_phase"] = jnp.zeros((), model.dtype)
     return params
+
+
+def structural_warm_start(params: dict, model_new, *, key=None,
+                          fresh_scale: float = 1e-2) -> dict:
+    """Re-express a trained parameter pytree in a STRUCTURALLY larger
+    model (extra predecessor slots from a multi-pred DAG, tensor
+    coupling K/U, …) without changing the represented wavefunction
+    more than O(fresh_scale).
+
+    Shared tensors carry over; tensors whose shape grew are zero-slot
+    embedded (the checkpoint block in the leading corner, the fresh
+    remainder at ``fresh_scale`` × a fresh init); tensors absent from
+    the checkpoint (e.g. ``K_re``/``U_re`` when turning on use_tensor)
+    start at ``fresh_scale`` × init — near zero, so the new couplings
+    switch on smoothly under training.  The reference grows structure
+    the same way (graph_mpsrnn.py:483-554 pad + near-zero fill).
+    """
+    import jax
+
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    params = {k: np.asarray(v) for k, v in params.items()}
+    init = model_new.init(key)
+    merged = {}
+    for k, v in init.items():
+        v = np.asarray(v)
+        if k in params and params[k].shape == v.shape:
+            merged[k] = params[k]
+        elif k in params:
+            pv = params[k]
+            if pv.ndim != v.ndim:
+                raise ValueError(
+                    f"{k}: rank mismatch {pv.shape} vs {v.shape}"
+                )
+            tgt = v * fresh_scale
+            sl = tuple(slice(0, s) for s in pv.shape)
+            tgt[sl] = pv
+            merged[k] = tgt
+        else:
+            merged[k] = v * fresh_scale
+    return {k: jnp.asarray(v, jnp.float32) for k, v in merged.items()}

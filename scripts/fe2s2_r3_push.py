@@ -145,24 +145,12 @@ def main():
         if graph is not None or args.use_tensor:
             # re-merge into the structured model (extra pred slots /
             # tensor K,U initialize near zero)
-            params = {k: np.asarray(v) for k, v in params.items()}
-            init = model.init(jax.random.PRNGKey(7))
-            merged = {}
-            for k, v in init.items():
-                if k in params and np.shape(params[k]) == np.shape(v):
-                    merged[k] = params[k]
-                elif k in params:
-                    pv = np.asarray(params[k])
-                    tgt = np.asarray(v) * 1e-2
-                    sl = tuple(slice(0, s) for s in pv.shape)
-                    tgt[sl] = pv
-                    merged[k] = tgt
-                else:
-                    merged[k] = np.asarray(v) * 1e-2
-            params = jax.tree.map(
-                lambda x: jnp.asarray(x, jnp.float32), merged
-            )
+            from pynqs_tpu.utils.mps_import import structural_warm_start
+
+            params = structural_warm_start(params, model)
     elif args.resume is None:
+        from pynqs_tpu.utils.mps_import import structural_warm_start
+
         params = load_params(args.from_ckpt)
         if isinstance(params, dict) and "params" in params:
             params = params["params"]
@@ -173,22 +161,7 @@ def main():
             )
         # structural warm start: missing params (tensor K/U, extra pred
         # slots) initialize fresh near zero; shared ones carry over
-        init = model.init(jax.random.PRNGKey(7))
-        merged = {}
-        for k, v in init.items():
-            if k in params and np.shape(params[k]) == np.shape(v):
-                merged[k] = params[k]
-            elif k in params:
-                # zero-pad the checkpoint tensor into the larger slot
-                # (e.g. extra predecessor axis)
-                pv = np.asarray(params[k])
-                tgt = np.asarray(v) * 1e-2  # near-zero fresh part
-                sl = tuple(slice(0, s) for s in pv.shape)
-                tgt[sl] = pv
-                merged[k] = tgt
-            else:
-                merged[k] = np.asarray(v) * 1e-2
-        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), merged)
+        params = structural_warm_start(params, model)
 
     sampler = ARSampler(
         sys_.sorb, sys_.noa, sys_.nob,

@@ -63,3 +63,47 @@ def test_focus_import_samples_and_normalizes():
     assert bool(jnp.isfinite(lp).all())
     # the DMRG state is strongly peaked: dominant |psi|^2 > 0.3
     assert counts.max() / counts.sum() > 0.3
+
+
+def test_structural_warm_start_preserves_wavefunction():
+    """Chain checkpoint -> multi-predecessor + tensor-coupled model:
+    with fresh_scale=0 the extra couplings are exactly zero, so the
+    re-expressed model computes the SAME wavefunction; at the default
+    near-zero fresh_scale it stays close."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.utils import fci
+    from pynqs_tpu.utils.graph import dag_from_order
+    from pynqs_tpu.utils.mps_import import structural_warm_start
+
+    sorb, noa, nob = 8, 2, 2
+    chain = GraphMPSRNN(sorb, noa, nob, dcut=6)
+    p_chain = chain.init(jax.random.PRNGKey(1))
+    # jitter so the checkpoint is not at init
+    p_chain = jax.tree.map(
+        lambda x: x + 0.1 * jnp.ones_like(x), p_chain
+    )
+
+    rng = np.random.default_rng(0)
+    Kx = np.abs(rng.standard_normal((sorb // 2, sorb // 2)))
+    Kx = (Kx + Kx.T) / 2
+    graph = dag_from_order(list(range(sorb // 2)), Kx, max_preds=2)
+    big = GraphMPSRNN(
+        sorb, noa, nob, dcut=6, graph=graph, use_tensor=True
+    )
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    lp_ref = np.asarray(chain.log_psi(p_chain, space))
+
+    p0 = structural_warm_start(p_chain, big, fresh_scale=0.0)
+    lp0 = np.asarray(big.log_psi(p0, space))
+    np.testing.assert_allclose(lp0[:, 0], lp_ref[:, 0], atol=1e-10)
+    # phases equal mod 2π
+    dphi = (lp0[:, 1] - lp_ref[:, 1] + np.pi) % (2 * np.pi) - np.pi
+    np.testing.assert_allclose(dphi, 0.0, atol=1e-5)
+
+    p1 = structural_warm_start(p_chain, big, fresh_scale=1e-2)
+    lp1 = np.asarray(big.log_psi(p1, space))
+    assert np.abs(lp1[:, 0] - lp_ref[:, 0]).max() < 0.2
