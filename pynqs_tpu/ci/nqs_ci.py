@@ -184,3 +184,157 @@ class NqsCi:
             params, opt_state, e, c = self._step(params, opt_state, k)
             self.history.append(float(e) + ecore)
         return params, np.asarray(c), self.history
+
+
+def ci_polish(
+    model,
+    params,
+    system,
+    d_bits,
+    sample_bits,
+    key,
+    *,
+    fwd=None,
+    ci_chunk: int = 128,
+    eloc_batch: int = 1024,
+    k_det: int = 1024,
+    n_stoch: int = 256,
+):
+    """One-shot CI-NQS energy polish at production scale.
+
+    Builds the (m+1)x(m+1) effective Hamiltonian of the hybrid state
+    ψ = Σ_i c_i|d_i⟩ + c_m|φ̂⟩ (reference ci_vmc/hybrid.py NqsCi
+    make_ci_hij/make_ci_nqs/make_nqs_nqs/solve_eigh :188-351) ONCE for
+    fixed NQS parameters and returns its lowest eigenvalue.  Because
+    the family contains ψ itself (c_i = φ(d_i), c_m = ‖φ'‖), the
+    result is variationally ≤ the plain VMC energy of φ.
+
+    TPU shape: every H_cn coupling is the exact closed-form sum over
+    the static connected space of d_i (exact AR normalization gives
+    the complement norm ‖φ'‖² = 1 − Σ_D |φ(d)|² in closed form); H_nn
+    uses the Rao-Blackwellized exact-|φ|² weights over the captured
+    off-D sample set with the semi-stochastic REDUCE local energy of
+    the D-masked wavefunction.  All CI-side work is chunked (``ci_chunk``
+    rows of [1+n_sd] connected determinants at a time).
+
+    Args:
+      d_bits: [m, sorb] CI determinants (int8 0/1).
+      sample_bits: [C, sorb] captured sample set (e.g. a DFS capture) —
+        weights are computed exactly from |φ|², rows may include D
+        members (they are masked off the complement estimator).
+      fwd: gradient-free forward ``bits -> [N, 2]`` (defaults to
+        model.log_psi; pass the fused forward on TPU).
+
+    Returns (e_elec, c, info): electronic energy (add system.ecore),
+      the (m+1) eigenvector, and a dict of diagnostics.
+    """
+    from pynqs_tpu.energy.eloc import local_energy_reduce
+
+    if fwd is None:
+        fwd = partial(model.log_psi, params)
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in system.tables.astuple())
+    hpair = (
+        None
+        if system.tables.hpair is None
+        else jnp.asarray(np.asarray(system.tables.hpair))
+    )
+    table = system.excitation
+    d_bits = jnp.asarray(d_bits, jnp.int8)
+    m = d_bits.shape[0]
+    d_packed = onv_ops.pack_bits(d_bits)
+    d_sorted, _ = lut_mod.sort_onv(d_packed, jnp.zeros((m,)))
+
+    lp_d = fwd(d_bits)  # [m, 2]
+    p_d = jnp.exp(2.0 * lp_d[..., 0].astype(jnp.float64))
+    norm2_c = jnp.maximum(1.0 - p_d.sum(), 1e-30)
+    norm_c = jnp.sqrt(norm2_c)
+
+    # ---- H_cc (dense CI block), row-chunked ----
+    def hcc_chunk(rows):
+        return hij_dense(rows, d_bits, *ops)
+
+    h_cc = jnp.concatenate(
+        [
+            hcc_chunk(d_bits[i : i + ci_chunk])
+            for i in range(0, m, ci_chunk)
+        ],
+        axis=0,
+    ).astype(jnp.float64)
+
+    # ---- H_cn couplings: exact sums over each d_i's connected space ----
+    @jax.jit
+    def hcn_chunk(rows):
+        comb, hij_ci = comb_hij(rows, *ops, hpair, table=table, with_comb=True)
+        flat = comb.reshape(-1, comb.shape[-1])
+        _, in_d = lut_mod.lut_search(d_sorted, onv_ops.pack_bits(flat))
+        hij_masked = jnp.where(in_d.reshape(hij_ci.shape), 0.0, hij_ci)
+        lp_c = fwd(flat).reshape(comb.shape[:2] + (2,))
+        from pynqs_tpu.ops import cplx
+
+        phi_re, phi_im = cplx.exp_pair(lp_c)
+        h_re = (hij_masked * phi_re).sum(-1)
+        h_im = (hij_masked * phi_im).sum(-1)
+        return h_re, h_im
+
+    h_cn_re = []
+    h_cn_im = []
+    for i in range(0, m, ci_chunk):
+        r, im = hcn_chunk(d_bits[i : i + ci_chunk])
+        h_cn_re.append(r)
+        h_cn_im.append(im)
+    h_cn_re = jnp.concatenate(h_cn_re).astype(jnp.float64) / norm_c
+    h_cn_im = jnp.concatenate(h_cn_im).astype(jnp.float64) / norm_c
+
+    # ---- H_nn: exact-weight estimator over the captured off-D set ----
+    def masked_fwd(bits):
+        lp = fwd(bits)
+        _, member = lut_mod.lut_search(d_sorted, onv_ops.pack_bits(bits))
+        la = jnp.where(member, lp[..., 0] - 690.0, lp[..., 0])
+        return jnp.stack([la, lp[..., 1]], -1)
+
+    sample_bits = jnp.asarray(sample_bits, jnp.int8)
+    lp_s = fwd(sample_bits)
+    _, member_s = lut_mod.lut_search(d_sorted, onv_ops.pack_bits(sample_bits))
+    logw = jnp.where(member_s, -jnp.inf, 2.0 * lp_s[..., 0])
+    logw = logw - jnp.max(logw)
+    w = jnp.exp(logw.astype(jnp.float64))
+    w_live = w.sum()
+    w = w / w_live
+    eloc = local_energy_reduce(
+        masked_fwd, sample_bits, ops, table, key,
+        k_det=min(k_det, table.n_sd), n_stoch=n_stoch, batch=eloc_batch,
+        hpair=hpair, topk="segmax",
+    )
+    h_nn = (w * eloc[:, 0].astype(jnp.float64)).sum()
+
+    # captured-complement coverage diagnostic (exact AR normalization):
+    # Σ_{S\D}|φ|² vs the closed-form ‖φ'‖²
+    p_cov = (
+        jnp.where(member_s, 0.0, jnp.exp(2.0 * lp_s[..., 0].astype(jnp.float64))).sum()
+        / norm2_c
+    )
+
+    # ---- assemble + eigensolve.  Phases: |d_i⟩ couplings are complex
+    # pairs; fold the CI determinants' NQS phases into the basis so the
+    # matrix is real-symmetric when φ is (sign-structured) real, and
+    # solve the Hermitian problem via its real embedding otherwise. ----
+    hr = np.zeros((m + 1, m + 1))
+    hi = np.zeros((m + 1, m + 1))
+    hr[:m, :m] = np.asarray(h_cc)
+    hr[:m, m] = np.asarray(h_cn_re)
+    hr[m, :m] = np.asarray(h_cn_re)
+    hi[:m, m] = np.asarray(h_cn_im)
+    hi[m, :m] = -np.asarray(h_cn_im)
+    hr[m, m] = float(h_nn)
+    H = hr + 1j * hi
+    evals, evecs = np.linalg.eigh(H)
+    e = float(evals[0])
+    c = evecs[:, 0]
+    info = {
+        "h_nn": float(h_nn),
+        "norm2_complement": float(norm2_c),
+        "captured_complement_fraction": float(p_cov),
+        "ci_mass": float(p_d.sum()),
+        "c_m2": float(np.abs(c[-1]) ** 2),
+    }
+    return e, c, info

@@ -41,3 +41,65 @@ def test_nqs_ci_energy_below_ci_alone():
     # eigenvector normalized, NQS weight is nonzero
     assert abs(np.linalg.norm(c) - 1) < 1e-8
     assert abs(c[-1]) > 0.05
+
+
+def test_ci_polish_matches_bruteforce_projection():
+    """ci_polish's (m+1)-dim eigenvalue vs the brute-force projection
+    of H onto span{|d_i>, masked-phi} in the full FCI space: exact
+    agreement when the capture is the full space and the REDUCE
+    deterministic set covers every term; FCI <= E_polish <= E_VMC."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pynqs_tpu.ci.nqs_ci import ci_polish
+    from pynqs_tpu.energy.eloc import local_energy_simple
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.ops.hamiltonian import hij_dense
+    from pynqs_tpu.ops.integrals import triangle_size
+    from pynqs_tpu.utils import System, fci
+    from functools import partial
+
+    rng = np.random.default_rng(9)
+    sorb, noa, nob = 8, 2, 2
+    h1e = rng.standard_normal((sorb, sorb)) * 0.3
+    h1e = (h1e + h1e.T) / 2
+    h2e = rng.standard_normal(triangle_size(sorb)) * 0.1
+    sys = System.from_integrals(h1e, h2e, sorb, noa, nob, dtype=np.float64)
+    model = GraphMPSRNN(sorb, noa, nob, dcut=6)
+    params = model.init(jax.random.PRNGKey(2))
+
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    H = np.asarray(hij_dense(space, space, *ops))
+    e_fci = np.linalg.eigvalsh(H)[0]
+
+    lp = np.asarray(model.log_psi(params, space))
+    psi = np.exp(lp[:, 0]) * np.exp(1j * lp[:, 1])
+    assert abs(np.vdot(psi, psi) - 1.0) < 1e-8  # exact AR normalization
+    e_vmc = float(np.real(np.vdot(psi, H @ psi)))
+
+    # D = the 6 heaviest determinants
+    order = np.argsort(-np.abs(psi))
+    d_idx = np.sort(order[:6])
+    d_bits = space[jnp.asarray(d_idx)]
+
+    e, c, info = ci_polish(
+        model, params, sys, d_bits, space, jax.random.PRNGKey(7),
+        k_det=sys.excitation.n_sd, n_stoch=4, ci_chunk=4,
+    )
+
+    # brute-force projection basis: the d_i columns + masked phi
+    n = space.shape[0]
+    B = np.zeros((n, 7), complex)
+    for j, i in enumerate(d_idx):
+        B[i, j] = 1.0
+    phi_c = psi.copy()
+    phi_c[d_idx] = 0.0
+    B[:, 6] = phi_c / np.linalg.norm(phi_c)
+    heff = B.conj().T @ H @ B
+    e_ref = np.linalg.eigvalsh(heff)[0]
+
+    assert abs(e - e_ref) < 1e-8, (e, e_ref)
+    assert e_fci - 1e-9 <= e <= e_vmc + 1e-9, (e_fci, e, e_vmc)
+    assert info["captured_complement_fraction"] > 0.999
