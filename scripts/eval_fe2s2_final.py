@@ -43,6 +43,10 @@ def main():
                          "(S=1,3,..) contamination of an Sz=0 state "
                          "with N/2 even parity; sampling stays on the "
                          "base |psi|^2, weights/ratios use psi_P")
+    ap.add_argument("--use-tensor", action="store_true",
+                    help="checkpoint was trained with tensor coupling")
+    ap.add_argument("--max-preds", type=int, default=1,
+                    help="checkpoint's multi-predecessor graph width")
     ap.add_argument("--fwd-dtype", choices=["bf16", "f32"], default="bf16",
                     help="fused-forward matmul dtype: f32 tests whether "
                          "bf16 MXU quantization of the ansatz recurrence "
@@ -58,19 +62,15 @@ def main():
     import jax.numpy as jnp
 
     from pynqs_tpu.energy.eloc import local_energy_reduce
-    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
     from pynqs_tpu.ops.fused_rnn import graph_mpsrnn_logpsi_fused
     from pynqs_tpu.ops.integrals import precompute_hij_tables, spin_raising
     from pynqs_tpu.sampler.ar import ar_sampling_dfs
-    from pynqs_tpu.utils import System
     from pynqs_tpu.utils.checkpoint import load_params
+    from pynqs_tpu.utils.flagship import fe2s2_system, flagship_model
 
-    sys_ = System.from_pth(
-        "/root/reference/example/Fe2S2/fe2s2-OO.pth", dtype=np.float32
-    )
-    model = GraphMPSRNN(
-        sys_.sorb, sys_.noa, sys_.nob, dcut=args.dcut,
-        phase_mode="arg", norm_mode="mpsrnn", dtype=jnp.float32,
+    sys_ = fe2s2_system(np.float32)
+    model = flagship_model(
+        sys_, args.dcut, use_tensor=args.use_tensor, max_preds=args.max_preds
     )
     params = load_params(args.ckpt)
     if isinstance(params, dict) and "params" in params:

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--n-stoch", type=int, default=256)
     ap.add_argument("--ci-chunk", type=int, default=128)
     ap.add_argument("--eloc-batch", type=int, default=1024)
+    ap.add_argument("--use-tensor", action="store_true")
+    ap.add_argument("--max-preds", type=int, default=1)
     args = ap.parse_args()
 
     from pynqs_tpu.utils.jaxcache import enable_compilation_cache
@@ -45,18 +47,14 @@ def main():
 
     from pynqs_tpu.ci.nqs_ci import ci_polish
     from pynqs_tpu.energy.eloc import local_energy_reduce
-    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
     from pynqs_tpu.ops.fused_rnn import graph_mpsrnn_logpsi_fused
     from pynqs_tpu.sampler.ar import ar_sampling_dfs
-    from pynqs_tpu.utils import System
     from pynqs_tpu.utils.checkpoint import load_params
+    from pynqs_tpu.utils.flagship import fe2s2_system, flagship_model
 
-    sys_ = System.from_pth(
-        "/root/reference/example/Fe2S2/fe2s2-OO.pth", dtype=np.float32
-    )
-    model = GraphMPSRNN(
-        sys_.sorb, sys_.noa, sys_.nob, dcut=args.dcut,
-        phase_mode="arg", norm_mode="mpsrnn", dtype=jnp.float32,
+    sys_ = fe2s2_system(np.float32)
+    model = flagship_model(
+        sys_, args.dcut, use_tensor=args.use_tensor, max_preds=args.max_preds
     )
     params = load_params(args.ckpt)
     if isinstance(params, dict) and "params" in params:

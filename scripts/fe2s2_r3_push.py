@@ -103,27 +103,18 @@ def main():
     from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
     from pynqs_tpu.optim.vmc import VMC, VMCConfig
     from pynqs_tpu.sampler import ARSampler
-    from pynqs_tpu.utils import System
     from pynqs_tpu.utils.checkpoint import load_params, save_params
+    from pynqs_tpu.utils.flagship import fe2s2_system, flagship_graph
     from pynqs_tpu.utils.mps_import import grow_dcut
 
-    sys_ = System.from_pth(
-        "/root/reference/example/Fe2S2/fe2s2-OO.pth", dtype=np.float32
-    )
+    sys_ = fe2s2_system(np.float32)
     if args.spin_raising > 0:
         from pynqs_tpu.ops.integrals import spin_raising
 
         h1e_s, h2e_s = spin_raising(sys_.sorb)
         sys_ = sys_.with_operator(h1e_s, h2e_s, args.spin_raising)
 
-    graph = None
-    if args.max_preds > 1:
-        from pynqs_tpu.utils.graph import dag_from_order, exchange_matrix
-
-        Kx = exchange_matrix(sys_.h2e, sys_.sorb)
-        graph = dag_from_order(
-            list(range(sys_.sorb // 2)), Kx, max_preds=args.max_preds
-        )
+    graph = flagship_graph(sys_, args.max_preds)
 
     def make(d):
         return GraphMPSRNN(

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--split-depth", type=int, default=9)
     ap.add_argument("--capacity", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--use-tensor", action="store_true")
+    ap.add_argument("--max-preds", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -51,20 +53,16 @@ def main():
     import jax.numpy as jnp
 
     from pynqs_tpu.energy.eloc import local_energy_sample_space
-    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
     from pynqs_tpu.ops import onv
     from pynqs_tpu.ops.integrals import precompute_hij_tables, spin_raising
     from pynqs_tpu.ops.lut import WavefunctionLUT
     from pynqs_tpu.sampler.ar import ar_sampling_dfs
-    from pynqs_tpu.utils import System
     from pynqs_tpu.utils.checkpoint import load_params
+    from pynqs_tpu.utils.flagship import fe2s2_system, flagship_model
 
-    sys_ = System.from_pth(
-        "/root/reference/example/Fe2S2/fe2s2-OO.pth", dtype=np.float64
-    )
-    model = GraphMPSRNN(
-        sys_.sorb, sys_.noa, sys_.nob, dcut=args.dcut,
-        phase_mode="arg", norm_mode="mpsrnn", dtype=jnp.float32,
+    sys_ = fe2s2_system(np.float64)
+    model = flagship_model(
+        sys_, args.dcut, use_tensor=args.use_tensor, max_preds=args.max_preds
     )
     params = load_params(args.ckpt)
     if isinstance(params, dict) and "params" in params:
