@@ -73,6 +73,10 @@ class VMCConfig:
     # ``clip_grad``.  Host-side — the threshold is a dynamic step input
     # so changing it never recompiles.
     clip_schedule: object = None
+    # warn in the log when the sampler drops more than this fraction of
+    # the sampled mass (capacity truncation biases the energy — the
+    # round-2 "+10.35 mHa" was a truncated-measure artifact)
+    dropped_warn: float = 0.005
     # DMRG-style freeze-and-sweep (reference FrozeSites,
     # mps_rnn.py:158): callable iteration -> gradient-mask pytree
     # (see optim/sweep.site_freeze_mask); None = all trainable.
@@ -251,7 +255,16 @@ class VMC:
             # sample counts, which reads as E = 0.0 (not NaN) — surface
             # it as an explicit flag for the host loop
             w_sum = jax.lax.stop_gradient(w.sum())
-            return params, opt_state, chain_state, e_re, var, w_sum, n_eff, gnorm
+            # sampling-truncation diagnostics (ARSampler reports them in
+            # its state slot; -1 = sampler doesn't measure dropped mass)
+            if isinstance(chain_state, dict) and "dropped_frac" in chain_state:
+                dropped = chain_state["dropped_frac"]
+                n_unique = chain_state["n_unique"]
+            else:
+                dropped = jnp.float32(-1.0)
+                n_unique = (w > 0).sum().astype(jnp.float32)
+            return (params, opt_state, chain_state, e_re, var, w_sum,
+                    n_eff, gnorm, dropped, n_unique)
 
         return step
 
@@ -387,7 +400,19 @@ class VMC:
                 self.model, params, k_th, chain_state, therm
             )[0]
         if chain_state is not None and self._batch_sharding is not None:
-            chain_state = jax.device_put(chain_state, self._batch_sharding)
+            # batch-shard chain arrays; scalar leaves (e.g. the
+            # ARSampler truncation diagnostics) replicate — a rank-0
+            # value cannot take a 'dp'-partitioned spec
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(self._batch_sharding.mesh, PartitionSpec())
+            chain_state = jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    self._batch_sharding if jnp.ndim(x) >= 1 else repl,
+                ),
+                chain_state,
+            )
         ecore = self.system.ecore
         e_ref = self.system.e_ref
 
@@ -432,7 +457,8 @@ class VMC:
                 if self.cfg.param_mask_fn is not None
                 else jax.tree.map(lambda _: jnp.ones(()), params)
             )
-            params, opt_state, chain_state, e, var, w_sum, n_eff, gnorm = use(
+            (params, opt_state, chain_state, e, var, w_sum, n_eff, gnorm,
+             dropped, n_unique) = use(
                 params, opt_state, k, chain_state,
                 jnp.asarray(clip_val, jnp.float32), gmask,
             )
@@ -469,14 +495,25 @@ class VMC:
                     else ""
                 )
                 se = (float(var) / max(float(n_eff), 1.0)) ** 0.5
+                drop_f = float(dropped)
+                drop_s = f" drop={100 * drop_f:.3f}%" if drop_f >= 0 else ""
                 log.info(
                     f"iter {it:5d}  E = {e_tot:.8f} ± {se:.2e} Ha  "
-                    f"σ² = {float(var):.3e}  t = {dt:.3f}s{extra}"
+                    f"σ² = {float(var):.3e}  t = {dt:.3f}s{extra}{drop_s}"
                 )
                 log.record(
                     iter=it, energy=e_tot, var=float(var), se=se,
                     n_eff=float(n_eff), iter_time=dt,
+                    dropped_frac=drop_f, n_unique=float(n_unique),
                 )
+                if drop_f > self.cfg.dropped_warn:
+                    # round-2/3 lesson: a truncated sampling measure
+                    # silently biases the energy estimate
+                    log.info(
+                        f"iter {it:5d}  WARNING: {100 * drop_f:.2f}% of the "
+                        f"sampled mass was dropped (capacity truncation) — "
+                        f"energies are biased; raise capacity/n_group"
+                    )
             if (
                 self.cfg.checkpoint_path is not None
                 and (it + 1) % self.cfg.checkpoint_interval == 0

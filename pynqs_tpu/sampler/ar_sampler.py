@@ -77,7 +77,13 @@ class ARSampler:
     exact_weights: bool = False
 
     def init_state(self, key: jax.Array):
-        return None
+        # ARSampler is stateless; the "state" slot carries sampling
+        # diagnostics out of the jitted step (structure must match
+        # sample()'s return so the first iteration doesn't retrace).
+        return {
+            "dropped_frac": jnp.float32(0.0),
+            "n_unique": jnp.float32(0.0),
+        }
 
     def _sample_adaptive(self, model, params, key):
         import jax.numpy as jnp
@@ -139,8 +145,12 @@ class ARSampler:
         return bits, counts
 
     def sample(self, model, params, key: jax.Array, state=None):
+        n_sample = jnp.float32(self.n_sample)
         if self.target_unique is not None and self.mesh is None and self.n_slab == 1:
             bits, counts = self._sample_adaptive(model, params, key)
+            # adaptive mode grows n_sample inside the loop; report the
+            # drop against the realized total instead
+            n_sample = jnp.maximum(counts.sum().astype(jnp.float32), 1.0)
         elif self.mesh is not None and self.mesh_mode == "independent":
             bits, counts = self._sample_rank_independent(model, params, key)
         elif self.mesh is not None:
@@ -188,6 +198,12 @@ class ARSampler:
             from pynqs_tpu.sampler.ar import compact_by_count
 
             bits, counts = compact_by_count(bits, counts, self.max_unique)
+        # truncation diagnostic (the round-2/3 lesson: a truncated
+        # sampling measure silently biases the energy — surface the
+        # dropped mass every iteration, including compaction losses)
+        dropped_frac = 1.0 - counts.sum().astype(jnp.float32) / n_sample
+        n_unique = (counts > 0).sum().astype(jnp.float32)
+        diag = {"dropped_frac": dropped_frac, "n_unique": n_unique}
         lp = model.log_psi(params, bits)  # [C, 2] pair
         if self.exact_weights:
             logw = jnp.where(
@@ -198,4 +214,4 @@ class ARSampler:
             w = jax.lax.stop_gradient(p / p.sum())
         else:
             w = counts.astype(lp.dtype) / jnp.maximum(counts.sum(), 1)
-        return bits, w, lp, None
+        return bits, w, lp, diag

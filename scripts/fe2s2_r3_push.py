@@ -31,7 +31,10 @@ def main():
     ap.add_argument("--n-sample", type=int, default=2_000_000)
     ap.add_argument("--capacity", type=int, default=4096)
     ap.add_argument("--n-group", type=int, default=8)
-    ap.add_argument("--split-depth", type=int, default=8)
+    ap.add_argument("--split-depth", type=str, default="8",
+                    help="int, or 'auto' = tune from the measured "
+                    "live-branch profile of the warm-start state "
+                    "(sampler.ar.tune_dfs_split_depth)")
     ap.add_argument("--capacity-root", type=int, default=4096)
     ap.add_argument("--max-unique", type=int, default=24576)
     ap.add_argument("--eloc-batch", type=int, default=4096)
@@ -154,10 +157,24 @@ def main():
         # slots) initialize fresh near zero; shared ones carry over
         params = structural_warm_start(params, model)
 
+    if args.split_depth == "auto":
+        from pynqs_tpu.sampler.ar import tune_dfs_split_depth
+
+        if params is None:
+            raise SystemExit("--split-depth auto needs a warm start "
+                             "(tune on the state being sampled)")
+        split_depth = tune_dfs_split_depth(
+            model, params, jax.random.PRNGKey(0), args.n_sample,
+            capacity=args.capacity, n_group=args.n_group,
+            capacity_root=args.capacity_root,
+        )
+        print(f"[auto] split_depth = {split_depth}")
+    else:
+        split_depth = int(args.split_depth)
     sampler = ARSampler(
         sys_.sorb, sys_.noa, sys_.nob,
         n_sample=args.n_sample, capacity=args.capacity,
-        dfs_n_group=args.n_group, dfs_split_depth=args.split_depth,
+        dfs_n_group=args.n_group, dfs_split_depth=split_depth,
         dfs_capacity_root=args.capacity_root, max_unique=args.max_unique,
         exact_weights=args.exact_weights,
     )

@@ -70,6 +70,44 @@ def test_n_sample_ramp_runs():
     assert len(hist) == 6 and np.isfinite(hist).all()
 
 
+def test_dropped_mass_logged(tmp_path):
+    """Every @@ record carries the sampling-truncation diagnostics
+    (dropped_frac / n_unique), and a capacity-starved sampler trips the
+    WARNING line — the codified round-2/3 lesson that truncated
+    sampling measures silently bias the energy."""
+    from pynqs_tpu.utils.logging import read_log
+
+    sys, model = _setup()
+    # capacity 4 on a 9-determinant space: guaranteed heavy truncation
+    sampler = ARSampler(sys.sorb, sys.noa, sys.nob, n_sample=2048, capacity=4)
+    p = str(tmp_path / "run.log")
+    vmc = VMC(
+        model, sys, sampler,
+        VMCConfig(n_iter=3, lr=1e-2, log_every=1, log_path=p),
+    )
+    _, hist = vmc.run(jax.random.PRNGKey(0))
+    recs = read_log(p)
+    assert len(recs) == 3
+    for r in recs:
+        assert 0.0 <= r["dropped_frac"] <= 1.0
+        assert 1 <= r["n_unique"] <= 4
+    # with capacity 4 of 9 dets some mass must drop
+    assert any(r["dropped_frac"] > 0.005 for r in recs)
+    text = open(p).read()
+    assert "WARNING" in text and "dropped" in text
+
+    # exact sampler: no truncation measurement -> field = -1 sentinel
+    p2 = str(tmp_path / "run2.log")
+    vmc2 = VMC(
+        model, sys, ExactSampler(sys.sorb, sys.noa, sys.nob),
+        VMCConfig(n_iter=1, lr=1e-2, log_every=1, log_path=p2),
+    )
+    vmc2.run(jax.random.PRNGKey(0))
+    recs2 = read_log(p2)
+    assert recs2[0]["dropped_frac"] == -1.0
+    assert recs2[0]["n_unique"] >= 1
+
+
 def test_clip_schedule_applies():
     """Staged max-norm clip (reference clip_grad_scheduler): a
     schedule returning ~0 must freeze the parameters; a loose one must

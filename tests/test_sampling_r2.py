@@ -214,6 +214,39 @@ def test_dfs_beats_single_tree_and_slabs_on_capacity_bias():
     assert int(np.asarray(cd).sum()) + int(dd) == n_sample
 
 
+def test_dfs_auto_split_depth_within_2x_of_hand_tuned():
+    """tune_dfs_split_depth (measured live-branch probe) must land
+    within 2× of the best hand-scanned depth's dropped mass, and beat
+    or match the old static bit-length heuristic."""
+    from pynqs_tpu.sampler.ar import ar_sampling_dfs, tune_dfs_split_depth
+
+    sorb, noa, nob = 12, 3, 3
+    model = GraphMPSRNN(sorb, noa, nob, dcut=8)
+    params = model.init(jax.random.PRNGKey(3))
+    n_sample = 100_000
+    kw = dict(capacity=64, n_group=8, capacity_root=64)
+
+    def dropped_at(depth):
+        _, _, d = ar_sampling_dfs(
+            model, params, jax.random.PRNGKey(0), n_sample,
+            split_depth=depth, **kw,
+        )
+        return int(d)
+
+    hand = {d: dropped_at(d) for d in range(1, sorb // 2)}
+    best = min(hand.values())
+    auto = tune_dfs_split_depth(
+        model, params, jax.random.PRNGKey(0), n_sample, **kw
+    )
+    assert 1 <= auto <= sorb // 2 - 1
+    assert hand[auto] <= max(2 * best, best + max(2, n_sample // 10000)), (
+        auto, hand,
+    )
+    # the old static default for this config
+    static = max(1, min(sorb // 2 - 1, (64 .bit_length() - 1) // 2))
+    assert hand[auto] <= hand[static], (auto, static, hand)
+
+
 def test_compact_by_count_keeps_all_live_rows():
     from pynqs_tpu.sampler.ar import ar_sampling_dfs, compact_by_count
 
@@ -303,6 +336,37 @@ def test_gumbel_sampling_without_replacement_unbiased():
     )
     live = np.asarray(bits)[np.asarray(alive)]
     assert len({tuple(r) for r in live}) == len(live)
+
+
+def test_gumbel_importance_weights_f32_no_overflow():
+    """f32 path of gumbel_importance_weights: a leaf with logq far below
+    the threshold must give a finite weight (the old 1e-300 floor
+    underflows to 0.0 in f32 -> inf), and the weights must match an
+    f64 direct evaluation of Kool et al. eq. 14."""
+    from pynqs_tpu.sampler.ar import gumbel_importance_weights
+
+    # leaf 3 (logq=-80) is kept with G far above the threshold kappa=-2:
+    # its p_gt = -expm1(-exp(-78)) underflows f32 expm1 to 0 exactly,
+    # so the old exp(logq)/max(p_gt, 1e-300) path returned inf.
+    logq64 = np.array([-0.5, -3.0, -40.0, -80.0, -1.0])
+    G64 = np.array([2.0, 1.0, 0.5, 0.9, -2.0])  # last = threshold leaf
+    alive = np.array([True] * 5)
+
+    w32, keep32 = gumbel_importance_weights(
+        jnp.asarray(logq64, jnp.float32),
+        jnp.asarray(G64, jnp.float32),
+        jnp.asarray(alive),
+    )
+    w32 = np.asarray(w32)
+    assert np.isfinite(w32).all(), w32
+    assert w32[-1] == 0.0  # threshold leaf dropped
+
+    # f64 oracle: w = p / (1 - exp(-exp(logq - kappa)))
+    kappa = G64[alive].min()
+    p_gt = -np.expm1(-np.exp(logq64 - kappa))
+    w64 = np.where(G64 > kappa, np.exp(logq64) / np.maximum(p_gt, 1e-300), 0.0)
+    keep = np.asarray(keep32)
+    np.testing.assert_allclose(w32[keep], w64[keep], rtol=2e-4)
 
 
 def test_vmc_segmax_selection_gradient_unbiased():
