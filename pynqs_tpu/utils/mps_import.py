@@ -21,7 +21,12 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["load_focus_mpsrnn", "grow_dcut", "structural_warm_start"]
+__all__ = [
+    "load_focus_mpsrnn",
+    "mpsrnn_params_from_state_dict",
+    "grow_dcut",
+    "structural_warm_start",
+]
 
 
 def grow_dcut(params: dict, model_old, model_new) -> dict:
@@ -59,17 +64,25 @@ def load_focus_mpsrnn(path: str, model):
 
     ``model``: a GraphMPSRNN with chain graph, phase_mode="arg",
     norm_mode="mpsrnn".  Returns a params pytree (float; complex data
-    split into re/im).
+    split into re/im).  For RAW FOCUS CTNS binaries use
+    :func:`pynqs_tpu.utils.focus_ctns.load_focus_ctns_mpsrnn`.
     """
-    import torch
-    import jax
-
     from pynqs_tpu.utils.torch_io import safe_torch_load
 
     sd = safe_torch_load(path)
     if "model" in sd:
         sd = sd["model"]
-    sd = _strip(sd)
+    return mpsrnn_params_from_state_dict(_strip(sd), model)
+
+
+def mpsrnn_params_from_state_dict(sd: dict, model):
+    """Converted-layout state dict (``params_M.all_sites`` list of
+    [4, Dout, Din, 2] with the boundary M last, ``params_w.all_sites``
+    [norb, dcut_f, 2], ``params_c.all_sites`` [norb, 2]) → GraphMPSRNN
+    parameter pytree.  Shared by the converted-file and raw-CTNS
+    loaders."""
+    import jax
+
     M_list = sd["params_M.all_sites"]
     w = np.asarray(sd["params_w.all_sites"])  # [norb, dcut_f, 2]
     c = np.asarray(sd["params_c.all_sites"])  # [norb, 2]
