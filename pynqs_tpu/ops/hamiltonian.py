@@ -218,13 +218,24 @@ def comb_hij(
                 )
                 for h_k in _split3(hpair)
             )  # [B, n_v, npair] f32
-            W = sum(
-                jnp.einsum(
-                    "bup,bvp->buv", Po, t_k,
-                    preferred_element_type=jnp.float32,
-                )
-                for t_k in _split3(T)
-            )  # [B, n_u, n_v] f32
+            # The dominant HBM term is the [B, n_u, npair] one-hot Po
+            # (~1.4 GB bf16 at Fe2S2 B=2048).  Stack T's three bf16
+            # split terms along the v axis and contract them in ONE
+            # einsum so Po streams through the MXU once instead of
+            # three times (round-4: −2 of ~5.4 GB step traffic).
+            n_v = pv.shape[1]
+            T3 = jnp.concatenate(
+                [t_k for t_k in _split3(T)], axis=1
+            )  # [B, 3*n_v, npair] bf16
+            W3 = jnp.einsum(
+                "bup,bvp->buv", Po, T3,
+                preferred_element_type=jnp.float32,
+            )  # [B, n_u, 3*n_v] f32
+            W = (
+                W3.reshape(B, -1, 3, n_v).sum(2)
+                if n_v > 0
+                else W3[:, :, :0]
+            )
         else:
             # f64 path (CPU tests/oracles): plain full precision
             Pv = jax.nn.one_hot(pv, npair, dtype=dtype)
