@@ -46,6 +46,21 @@ class NqsCiConfig:
     n_sample: int = 1 << 13
     capacity: int = 1 << 10
     log_every: int = 50
+    # Reference grad strategies (ci_vmc/hybrid.py:60-66,495-527).  In
+    # the Hellmann–Feynman form both 0 and 1 produce the SAME gradient
+    # c†(∂H)c = |c_m|²·∂H_nn + 2 c_m Σ_i c_i ∂H_cn,i; they differ only
+    # in the warm-up floor applied while |c_m| ≈ 0 (the NQS weight of a
+    # fresh model is tiny, so the raw gradient stalls): 0 rescales the
+    # loss by max(|c_m|², cnqs_pow_min)/|c_m|² (quadratic floor), 1 by
+    # max(|c_m|, √cnqs_pow_min)/|c_m| (linear floor).  2 drops the CI
+    # coupling entirely (pure NQS covariance gradient — kept for parity;
+    # the reference marks it "fail": it optimizes ⟨φ|H|φ⟩ instead of the
+    # hybrid eigenvalue, so the CI mixing never feeds back into θ).
+    grad_strategy: int = 1
+    cnqs_pow_min: float = 1e-4
+    # apply the floor only while iteration < start_iter (reference
+    # start_iter; -1 = never floor)
+    start_iter: int = -1
 
 
 class NqsCi:
@@ -93,8 +108,11 @@ class NqsCi:
             la = jnp.where(member, lp[..., 0] - 690.0, lp[..., 0])
             return jnp.stack([la, lp[..., 1]], -1)
 
+        if self.cfg.grad_strategy not in (0, 1, 2):
+            raise ValueError("grad_strategy must be 0, 1 or 2")
+
         @jax.jit
-        def step(params, opt_state, key):
+        def step(params, opt_state, key, floor_on):
             # ---- sample from φ, discard D members by weight-zeroing.
             # NOTE: ar_sampling's exclude_sorted_keys is NOT used here:
             # per-step exclusion renormalizes conditionals prefix by
@@ -148,6 +166,18 @@ class NqsCi:
 
             # ---- Hellmann–Feynman surrogate ----
             cm = c[self.m]
+            strat = self.cfg.grad_strategy
+            pmin = self.cfg.cnqs_pow_min
+            cm2 = jnp.maximum(cm**2, 1e-300)
+            if strat == 0:
+                scale = jnp.where(floor_on, jnp.maximum(cm2, pmin) / cm2, 1.0)
+            elif strat == 1:
+                a = jnp.sqrt(cm2)
+                scale = jnp.where(
+                    floor_on, jnp.maximum(a, jnp.sqrt(pmin)) / a, 1.0
+                )
+            else:
+                scale = 1.0
 
             def surrogate(p):
                 lp = masked_log_psi(p, bits)  # [C, 2]
@@ -158,9 +188,11 @@ class NqsCi:
                     0.0,
                 )
                 s_nn = 2.0 * (w * (cen * lp).sum(-1)).sum()
+                if strat == 2:
+                    return s_nn
                 h_re_p, _ = h_cn_fn(p)
                 s_cn = 2.0 * (c[: self.m] @ h_re_p) * cm
-                return cm**2 * s_nn + s_cn
+                return scale * (cm**2 * s_nn + s_cn)
 
             grads = jax.grad(surrogate)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
@@ -181,7 +213,10 @@ class NqsCi:
         c = None
         for it in range(n_iter):
             key, k = jax.random.split(key)
-            params, opt_state, e, c = self._step(params, opt_state, k)
+            floor_on = jnp.asarray(it < self.cfg.start_iter)
+            params, opt_state, e, c = self._step(
+                params, opt_state, k, floor_on
+            )
             self.history.append(float(e) + ecore)
         return params, np.asarray(c), self.history
 

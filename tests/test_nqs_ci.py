@@ -103,3 +103,45 @@ def test_ci_polish_matches_bruteforce_projection():
     assert abs(e - e_ref) < 1e-8, (e, e_ref)
     assert e_fci - 1e-9 <= e <= e_vmc + 1e-9, (e_fci, e, e_vmc)
     assert info["captured_complement_fraction"] > 0.999
+
+
+@pytest.mark.slow
+def test_nqs_ci_grad_strategies_compare():
+    """Reference grad strategies 0/1/2 (ci_vmc/hybrid.py:60-66,495-527)
+    mapped to the Hellmann-Feynman form: 0 and 1 share the gradient and
+    differ only in the warm-up floor; both must descend below the
+    CI-only energy.  Strategy 2 (pure-NQS covariance, the reference
+    marks it 'fail') runs but must not beat the coupled strategies by
+    any margin -- theta never receives the CI coupling."""
+    sys = System.hubbard_1d(4, 2, 2, u=4.0)
+    dets = oracle.fci_space(sys.sorb, sys.noa, sys.nob)
+    H = oracle.dense_h(dets, sys.h1e, decompress_h2e(sys.h2e, sys.sorb))
+    w, v = np.linalg.eigh(H)
+    space = fci.fci_bits(sys.sorb, sys.noa, sys.nob)
+    order = np.argsort(-np.abs(v[:, 0]))[:6]
+    d_bits = space[np.sort(order)]
+    h_dd = H[np.ix_(np.sort(order), np.sort(order))]
+    e_ci_only = np.linalg.eigvalsh(h_dd)[0]
+
+    finals = {}
+    for strat in (0, 1, 2):
+        model = RNNWavefunction(
+            sys.sorb, sys.noa, sys.nob, hidden=16, phase_hidden=8
+        )
+        nc = NqsCi(
+            model, sys, d_bits,
+            NqsCiConfig(
+                n_iter=200, lr=5e-3, n_sample=1 << 13, capacity=len(dets),
+                grad_strategy=strat, cnqs_pow_min=1e-4, start_iter=50,
+            ),
+        )
+        _, c, hist = nc.run(jax.random.PRNGKey(strat))
+        finals[strat] = float(np.mean(hist[-20:]))
+
+    assert finals[0] < e_ci_only - 1e-3, finals
+    assert finals[1] < e_ci_only - 1e-3, finals
+    # the coupled strategies land in the same basin (different seeds
+    # and warm-up floors give different transients at 200 iters)
+    assert abs(finals[0] - finals[1]) < 0.25, finals
+    # the decoupled strategy must not be better beyond noise
+    assert finals[2] > min(finals[0], finals[1]) - 5e-3, finals
