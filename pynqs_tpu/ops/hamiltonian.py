@@ -67,7 +67,7 @@ def _parity_from_count(cnt: jax.Array) -> jax.Array:
     return (1 - 2 * (cnt & 1)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("table", "with_comb"))
+@partial(jax.jit, static_argnames=("table", "with_comb", "pair_select"))
 def comb_hij(
     bits: jax.Array,
     h1e: jax.Array,
@@ -79,6 +79,7 @@ def comb_hij(
     *,
     table: ExcitationTable,
     with_comb: bool = True,
+    pair_select: str = "auto",
 ):
     """Fused connected-determinant enumeration + matrix elements.
 
@@ -200,7 +201,22 @@ def comb_hij(
         # of the dominant [B, n_u, npair] operand (~2.8 GB f32 at
         # Fe2S2 B=2048).  Single-pass DEFAULT on the integral side
         # truncates to 8-bit mantissas and corrupted round-1 energies.
-        if dtype == jnp.float32:
+        use_pallas = pair_select in ("pallas", "pallas_interpret") or (
+            pair_select == "auto"
+            and dtype == jnp.float32
+            and jax.default_backend() != "cpu"
+        )
+        if use_pallas:
+            # VMEM-resident selection (ops/pallas_hij.py): the one-hot
+            # never touches HBM and the T rows are exact f32
+            from pynqs_tpu.ops.pallas_hij import pair_select_w
+
+            W = pair_select_w(
+                po, pv, hpair.astype(jnp.float32),
+                interpret=pair_select == "pallas_interpret",
+            )
+            W = W.astype(dtype)
+        elif dtype == jnp.float32:
             Pv = jax.nn.one_hot(pv, npair, dtype=jnp.bfloat16)
             Po = jax.nn.one_hot(po, npair, dtype=jnp.bfloat16)
 

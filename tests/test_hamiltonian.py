@@ -220,3 +220,43 @@ def test_comb_hij_f32_onehot_paths_match_f64():
     a, b = run(s64), run(s32)
     scale = np.abs(a).max()
     assert np.abs(a - b).max() < 2e-6 * scale, np.abs(a - b).max()
+
+
+def test_comb_hij_pallas_pair_select_parity():
+    """The Pallas VMEM pair-selection (ops/pallas_hij.py, interpret
+    mode on CPU) must reproduce the XLA one-hot doubles path
+    element-for-element (same 3-split f32-faithful scheme; T rows are
+    exact f32 so the kernel can only be MORE accurate)."""
+    import jax.numpy as jnp
+
+    from pynqs_tpu.ops.hamiltonian import comb_hij
+    from pynqs_tpu.ops.integrals import triangle_size
+    from pynqs_tpu.utils import System, fci
+
+    rng = np.random.default_rng(9)
+    sorb = 12
+    h1e = rng.standard_normal((sorb, sorb)) * 0.2
+    h1e = (h1e + h1e.T) / 2
+    h2e = rng.standard_normal(triangle_size(sorb)) * 0.05
+    sys32 = System.from_integrals(h1e, h2e, sorb, 4, 3, dtype=np.float32)
+    sys64 = System.from_integrals(h1e, h2e, sorb, 4, 3, dtype=np.float64)
+    bits = jnp.asarray(fci.fci_bits(sorb, 4, 3))[:32]
+    ops32 = [jnp.asarray(np.asarray(x)) for x in sys32.tables.astuple()]
+    hp32 = jnp.asarray(np.asarray(sys32.tables.hpair))
+    _, hij_p = comb_hij(
+        bits, *ops32, hp32, table=sys32.excitation, with_comb=False,
+        pair_select="pallas_interpret",
+    )
+    _, hij_x = comb_hij(
+        bits, *ops32, hp32, table=sys32.excitation, with_comb=False,
+        pair_select="xla",
+    )
+    ops64 = [jnp.asarray(np.asarray(x)) for x in sys64.tables.astuple()]
+    _, hij_64 = comb_hij(
+        bits, *ops64, None, table=sys64.excitation, with_comb=False,
+    )
+    a_p = np.asarray(hij_p, np.float64)
+    a_x = np.asarray(hij_x, np.float64)
+    a_r = np.asarray(hij_64)
+    assert np.abs(a_p - a_r).max() <= np.abs(a_x - a_r).max() + 1e-7
+    assert np.abs(a_p - a_r).max() < 5e-6, np.abs(a_p - a_r).max()
