@@ -196,6 +196,7 @@ def local_energy_reduce(
     hpair: jax.Array | None = None,
     topk: str = "exact",
     dedup_unique_max: int | None = None,
+    pair_select: str = "auto",
 ) -> jax.Array:
     """Semi-stochastic screened E_loc (reference ElocMethod.REDUCE,
     vmc/energy/eloc.py:205-323), re-shaped for static-shape XLA:
@@ -228,7 +229,7 @@ def local_energy_reduce(
         chunk_bits, k = args
         _, hij = comb_hij(
             chunk_bits, h1e, h2e, diag1, K, J, hpair, table=table,
-            with_comb=False,
+            with_comb=False, pair_select=pair_select,
         )
         b, sorb = chunk_bits.shape
         n_off = hij.shape[1] - 1

@@ -106,7 +106,7 @@ def read_ctns_sites(path: str, dtype=np.float64) -> list[np.ndarray]:
 _PHYS = np.array([0, 2, 3, 1])
 
 
-def ctns_state_dict(sites: list[np.ndarray]) -> dict:
+def ctns_state_dict(sites: list[np.ndarray], phys=None) -> dict:
     """Re-layout dense site tensors into the converted-file structure
     (the reference's Fmps2mpsrnn, focus_helper.py:24-71):
 
@@ -114,10 +114,16 @@ def ctns_state_dict(sites: list[np.ndarray]) -> dict:
         site 0's tensor (the boundary M) is the LAST list entry;
       params_w.all_sites [norb, dcut, 2]: zero except w[-1] = 1;
       params_c.all_sites [norb, 2]: zeros.
+
+    ``phys``: physical-index permutation applied per site (default the
+    FOCUS order `_PHYS`; pass an identity for tensors already in the
+    converted 4-basis order, e.g. the Renormalizer path).
     """
+    if phys is None:
+        phys = _PHYS
     M_list = []
     for t in sites:
-        m = t[:, _PHYS, :]  # (l, 4, r), physical re-indexed
+        m = t[:, phys, :]  # (l, 4, r), physical re-indexed
         m = np.ascontiguousarray(np.transpose(m, (1, 2, 0)))  # [4, r=Dout, l=Din]
         M_list.append(np.stack([m, np.zeros_like(m)], axis=-1))
     M_list = M_list[1:] + M_list[:1]

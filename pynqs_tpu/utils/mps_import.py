@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "load_focus_mpsrnn",
+    "load_renormalizer_mpsrnn",
     "mpsrnn_params_from_state_dict",
     "grow_dcut",
     "structural_warm_start",
@@ -174,3 +175,39 @@ def structural_warm_start(params: dict, model_new, *, key=None,
         else:
             merged[k] = v * fresh_scale
     return {k: jnp.asarray(v, jnp.float32) for k, v in merged.items()}
+
+
+def load_renormalizer_mpsrnn(path_or_tensors, model):
+    """Renormalizer DMRG warm start (reference Rmps2mpsrnn artifact).
+
+    The reference's Renormalizer pipeline
+    (utils/mps_helper/renormalizer_helper.py:74-78) torch-saves the
+    optimized MPS as a list of 1-SITE tensors [l, 2, r] over SPIN
+    orbitals.  Its mps2mpsrnn (:95-185) contracts spin-orbital pairs to
+    2-site tensors [l, 4, r], remaps the tensor-product order
+    [0,1,2,3] -> [0,2,1,3] (renormalizer basis -> the model's
+    x = n_alpha + 2 n_beta), and packs the converted-file structure.
+    This is the same conversion running on the saved artifact (or an
+    in-memory list of numpy arrays) without renormalizer installed.
+    """
+    if isinstance(path_or_tensors, str):
+        from pynqs_tpu.utils.torch_io import safe_torch_load
+
+        ts = [np.asarray(t) for t in safe_torch_load(path_or_tensors)]
+    else:
+        ts = [np.asarray(t) for t in path_or_tensors]
+    if len(ts) % 2:
+        raise ValueError("expected an even number of 1-site tensors "
+                         "(two spin orbitals per spatial site)")
+    sites = []
+    for i in range(0, len(ts), 2):
+        m1, m2 = ts[i], ts[i + 1]
+        m = np.einsum("iak,kbj->iabj", m1, m2).reshape(
+            m1.shape[0], 4, m2.shape[-1]
+        )
+        sites.append(np.ascontiguousarray(m[:, [0, 2, 1, 3], :]))
+    from pynqs_tpu.utils.focus_ctns import ctns_state_dict
+
+    # already in the converted 4-basis order -> identity permutation
+    sd = ctns_state_dict(sites, phys=np.arange(4))
+    return mpsrnn_params_from_state_dict(sd, model)

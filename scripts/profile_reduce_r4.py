@@ -79,7 +79,8 @@ def main():
     keys = [jax.random.PRNGKey(i) for i in range(args.reps)]
     fwd = partial(graph_mpsrnn_logpsi_fused, model, params)
 
-    def step_fn(k_det, n_stoch, use_fwd=True):
+    def step_fn(k_det, n_stoch, use_fwd=True, pair_select="auto",
+                dedup=None):
         f = fwd if use_fwd else (
             lambda rows: jnp.zeros((rows.shape[0], 2), jnp.float32)
         )
@@ -89,6 +90,7 @@ def main():
             return local_energy_reduce(
                 f, bits, ops, table, key,
                 k_det=k_det, n_stoch=n_stoch, hpair=hpair, topk="segmax",
+                pair_select=pair_select, dedup_unique_max=dedup,
             )
 
         return go
@@ -101,13 +103,24 @@ def main():
 
     from pynqs_tpu.ops.hamiltonian import comb_hij
 
-    @jax.jit
-    def hij_only(bits):
-        _, hij = comb_hij(bits, *ops, hpair, table=table, with_comb=False)
-        return hij
+    def hij_fn(pair_select):
+        @jax.jit
+        def hij_only(bits):
+            _, hij = comb_hij(
+                bits, *ops, hpair, table=table, with_comb=False,
+                pair_select=pair_select,
+            )
+            return hij
+        return hij_only
 
-    dt = timed(hij_only, [(b,) for b in batches])
-    print(f"hij   comb_hij only        {dt * 1e3:8.2f} ms")
+    for ps in ("xla", "pallas"):
+        dt = timed(hij_fn(ps), [(b,) for b in batches])
+        print(f"hij   comb_hij {ps:6s}      {dt * 1e3:8.2f} ms")
+
+    # on-chip parity of the two pair-select paths
+    a = np.asarray(hij_fn("pallas")(batches[0]), np.float64)
+    b_ = np.asarray(hij_fn("xla")(batches[0]), np.float64)
+    print(f"      pallas-vs-xla max|dH| {np.abs(a - b_).max():.3e}")
 
     dt = timed(step_fn(512, 128, use_fwd=False), pairs)
     print(f"selm  null-forward step    {dt * 1e3:8.2f} ms")
@@ -125,9 +138,14 @@ def main():
     dt = timed(jax.jit(fwd), [(fb,) for fb in fbatches])
     print(f"fwd   fused fwd {rows} rows  {dt * 1e3:8.2f} ms")
 
-    for kd, ns in ((384, 96), (256, 64)):
-        dt = timed(step_fn(kd, ns), pairs)
-        print(f"step  k={kd}/n={ns}          {dt * 1e3:8.2f} ms   "
+    for kd, ns, ps in (
+        (512, 128, "pallas"),
+        (384, 96, "auto"),
+        (256, 64, "xla"),
+        (256, 64, "pallas"),
+    ):
+        dt = timed(step_fn(kd, ns, pair_select=ps), pairs)
+        print(f"step  k={kd}/n={ns} ps={ps:6s}  {dt * 1e3:8.2f} ms   "
               f"{B * (1 + table.n_sd) / dt:.3e} terms/s")
 
 

@@ -332,3 +332,75 @@ def test_ctns_import_matches_masked_conditional_oracle(tmp_path):
         np.testing.assert_allclose(got[0], log_amp, atol=1e-10)
         dph = (got[1] - phase + np.pi) % (2 * np.pi) - np.pi
         assert abs(dph) < 1e-10, (got[1], phase)
+
+
+def test_renormalizer_import_matches_converted_path(tmp_path):
+    """load_renormalizer_mpsrnn (raw 1-site artifact of the reference's
+    Rmps2mpsrnn, renormalizer_helper.py:74-78) must produce identical
+    GraphMPSRNN params to the reference's own mps2mpsrnn conversion
+    (:95-185), transcribed independently here with torch: contract
+    spin-orbital pairs, remap [0,1,2,3]->[0,2,1,3], pack the converted
+    structure, load through load_focus_mpsrnn."""
+    import torch
+
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.utils.mps_import import (
+        load_focus_mpsrnn,
+        load_renormalizer_mpsrnn,
+    )
+
+    rng = np.random.default_rng(7)
+    norb, dcut = 4, 5
+    # 1-site right-canonical-ish tensors [l, 2, r] over 2*norb spin orbs
+    dims = [1, 2, 4, 5, 5, 4, 3, 2, 1]
+    ts = []
+    for t in range(2 * norb):
+        L, R = dims[t], dims[t + 1]
+        a = rng.standard_normal((L, 2 * R))
+        q = np.linalg.qr(a.T, mode="reduced")[0].T
+        ts.append(np.ascontiguousarray(q.reshape(L, 2, R)))
+    raw = str(tmp_path / "params2rnn_1site.pth")
+    torch.save([torch.from_numpy(t) for t in ts], raw)
+
+    # --- reference conversion (renormalizer_helper.py mps2mpsrnn) ---
+    two = []
+    for i in range(0, len(ts), 2):
+        M1 = torch.from_numpy(ts[i])
+        M2 = torch.from_numpy(ts[i + 1])
+        _M = torch.einsum("iak,kbj->iabj", M1, M2).reshape(
+            M1.shape[0], -1, M2.shape[-1]
+        )
+        two.append(torch.index_select(_M, 1, torch.tensor([0, 2, 1, 3])))
+    params2rnn = []
+    for M in two:
+        m = torch.einsum("ijk->jki", M).unsqueeze(-1)
+        params2rnn.append(torch.cat([m, torch.zeros_like(m)], dim=-1))
+    params2rnn = params2rnn[1:] + params2rnn[:1]
+    B = max(max(m.shape[1], m.shape[2]) for m in params2rnn)
+    param_w = torch.zeros((norb, B, 2), dtype=torch.float64)
+    param_w[-1, :, 0] = 1.0
+    param_c = torch.zeros((norb, 2), dtype=torch.float64)
+    conv = str(tmp_path / "converted.pth")
+    torch.save(
+        {
+            "model": {
+                "module.params_M.all_sites": params2rnn,
+                "module.params_w.all_sites": param_w,
+                "module.params_c.all_sites": param_c,
+            }
+        },
+        conv,
+    )
+
+    model = GraphMPSRNN(
+        2 * norb, 2, 2, dcut=dcut, phase_mode="arg", norm_mode="mpsrnn",
+        dtype=jnp.float64,
+    )
+    p_conv = load_focus_mpsrnn(conv, model)
+    p_raw = load_renormalizer_mpsrnn(raw, model)
+    assert set(p_conv) == set(p_raw)
+    for k in p_conv:
+        np.testing.assert_allclose(
+            np.asarray(p_conv[k]), np.asarray(p_raw[k]), rtol=1e-12,
+            atol=1e-14, err_msg=k,
+        )
