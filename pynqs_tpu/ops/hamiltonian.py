@@ -201,11 +201,11 @@ def comb_hij(
         # of the dominant [B, n_u, npair] operand (~2.8 GB f32 at
         # Fe2S2 B=2048).  Single-pass DEFAULT on the integral side
         # truncates to 8-bit mantissas and corrupted round-1 energies.
-        use_pallas = pair_select in ("pallas", "pallas_interpret") or (
-            pair_select == "auto"
-            and dtype == jnp.float32
-            and jax.default_backend() != "cpu"
-        )
+        # NOT in "auto": the VMEM kernel produces wrong values on the
+        # real Mosaic backend (interpret mode is exact) — under
+        # investigation; the stacked-split one-hot einsum below is the
+        # validated production path.  Opt in with pair_select="pallas".
+        use_pallas = pair_select in ("pallas", "pallas_interpret")
         if use_pallas:
             # VMEM-resident selection (ops/pallas_hij.py): the one-hot
             # never touches HBM and the T rows are exact f32

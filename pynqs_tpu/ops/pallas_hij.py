@@ -4,22 +4,29 @@ The doubles values of `ops.hamiltonian.comb_hij` are
     W[b, u, v] = Hpair[po[b, u], pv[b, v]]
 — a per-sample 2-D gather from the dense pair matrix.  The XLA path
 realizes it as one-hot MXU matmuls, which is gather-free but
-materializes the [B, n_u, npair] one-hot in HBM (~1.4 GB bf16 at
-Fe2S2 B=2048) and streams it through the MXU (reference analog:
-the CUDA kernel gathers h2e directly per thread,
+materializes the [B, n_u, npair] and [B, n_v, npair] one-hots in HBM
+(~1.4 GB bf16 at Fe2S2 B=2048) and streams them through the MXU
+(reference analog: the CUDA kernel gathers h2e directly per thread,
 cpp_src/cuda/excitation.cu:130 — a scalar-core disaster on TPU).
 
-Here the whole selection lives in VMEM:
-  * Hpair (padded [P, P] f32, P = roundup(npair, 128)) is a
-    grid-invariant VMEM block (~3.2 MB at Fe2S2) — resident, exact.
-  * T[v, :] = Hpair[pv[b, v], :] is assembled by n_v dynamic row
-    slices (pv read from SMEM) — EXACT f32 rows, better than the XLA
-    path's 3-split reconstruction of T.
-  * The [n_u, P] one-hot of po is generated in-register from an iota
-    compare and dotted against the three bf16 split terms of T
-    (one-hot is exact in bf16; hi+lo+lo2 of the integral side carries
-    ≥24 mantissa bits — the same f32-faithful scheme as the XLA path).
-HBM traffic: po/pv indices in, W out — nothing else.
+Here the whole selection lives in VMEM and NOTHING data-dependent is
+indexed (Mosaic lowers dynamic sublane gathers incorrectly on this
+backend — measured wrong results on hardware; see CLAUDE.md):
+  * Hpair is pre-split OUTSIDE the kernel into three bf16 terms
+    (hi + lo + lo2 carries ≥24 mantissa bits — f32-faithful), each a
+    grid-invariant VMEM block ([P, P] bf16, P = roundup(npair, 128),
+    ~1.6 MB each at Fe2S2) — resident across the B-sample grid.
+  * both one-hots are generated IN-REGISTER from iota compares
+    (exact in bf16); per sample
+        T_k = onehot(pv) @ H_k^T      [VP, P]  (row selection, exact;
+                                       values are H_k entries, hence
+                                       bf16-representable -> the
+                                       downcast for the second dot is
+                                       LOSSLESS)
+        W  += onehot(po) @ T_k^T      [UP, VP] f32 accumulate
+HBM traffic: po/pv indices in, W out — nothing else.  The extra MXU
+work ([VP, P] @ [P, P] per sample) replaces ~GBs of one-hot HBM
+streaming in the XLA path.
 """
 
 from __future__ import annotations
@@ -38,31 +45,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(pv_ref, pot_ref, h_ref, out_ref, t_ref, *, n_v_pad, P):
-    # ---- T rows: exact f32 dynamic row slices of Hpair ----
-    def body(v, _):
-        idx = pv_ref[0, v]
-        row = h_ref[pl.ds(idx, 1), :]
-        t_ref[pl.ds(v, 1), :] = row
-        return 0
+def _kernel(pv_ref, po_ref, h1_ref, h2_ref, h3_ref, out_ref, *, P):
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    VP = pv_ref.shape[1]
+    UP = po_ref.shape[1]
 
-    jax.lax.fori_loop(0, n_v_pad, body, 0)
+    pv = pv_ref[0]  # [VP, 1] int32
+    po = po_ref[0]  # [UP, 1] int32
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (VP, P), 1)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (UP, P), 1)
+    oh_v = (pv == iota_v).astype(bf16)  # [VP, P]
+    oh_u = (po == iota_u).astype(bf16)  # [UP, P]
 
-    T = t_ref[...]  # [n_v_pad, P] f32
-    th = T.astype(jnp.bfloat16)
-    r1 = T - th.astype(jnp.float32)
-    tl = r1.astype(jnp.bfloat16)
-    tq = (r1 - tl.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    # ---- one-hot of po, generated in-register ----
-    po = pot_ref[...]  # [n_u_pad, 1] int32
-    iota = jax.lax.broadcasted_iota(jnp.int32, (po.shape[0], P), 1)
-    oh = (po == iota).astype(jnp.bfloat16)  # [n_u_pad, P]
-
-    dn = (((1,), (1,)), ((), ()))
-    w = jax.lax.dot_general(oh, th, dn, preferred_element_type=jnp.float32)
-    w += jax.lax.dot_general(oh, tl, dn, preferred_element_type=jnp.float32)
-    w += jax.lax.dot_general(oh, tq, dn, preferred_element_type=jnp.float32)
+    dn = (((1,), (1,)), ((), ()))  # contract lane dims: A[i,p] B[j,p]
+    w = jnp.zeros((UP, VP), f32)
+    for h_ref in (h1_ref, h2_ref, h3_ref):
+        # T[v, :] = H_k[pv[v], :] — contract the one-hot against the
+        # ROW index of H_k (i.e. against H_k^T's lane dim)
+        t = jax.lax.dot_general(
+            oh_v, h_ref[...].T, dn, preferred_element_type=f32
+        )  # [VP, P]
+        w += jax.lax.dot_general(
+            oh_u, t.astype(bf16), dn, preferred_element_type=f32
+        )  # [UP, VP]; lossless downcast (T entries are H_k entries)
     out_ref[0] = w
 
 
@@ -86,33 +92,51 @@ def pair_select_w(
     UP = _round_up(n_u, 8)
     VP = _round_up(n_v, 8)
 
-    h_pad = jnp.zeros((P, P), jnp.float32).at[:npair, :npair].set(
+    h = jnp.zeros((P, P), jnp.float32).at[:npair, :npair].set(
         hpair.astype(jnp.float32)
     )
-    # pad slots point at a zero-padded row/column of h_pad
-    po_t = jnp.full((UP, B), npair, jnp.int32).at[:n_u].set(
-        po.T.astype(jnp.int32)
+    # 3-term bf16 split (hi + lo + lo2), computed once outside the grid
+    h1 = h.astype(jnp.bfloat16)
+    r1 = h - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # pad slots point past the zero padding of h (selected rows/cols
+    # are zero there, harmless).  Mosaic requires each block's last two
+    # dims to be (8, 128)-divisible OR equal to the array's — both
+    # index operands carry a leading batch axis so their trailing dims
+    # match the block exactly.
+    po_p = jnp.full((B, UP, 1), npair, jnp.int32).at[:, :n_u, 0].set(
+        po.astype(jnp.int32)
     )
-    pv_p = jnp.full((B, VP), npair, jnp.int32).at[:, :n_v].set(
+    pv_p = jnp.full((B, VP, 1), npair, jnp.int32).at[:, :n_v, 0].set(
         pv.astype(jnp.int32)
     )
 
+    inv = lambda shape: pl.BlockSpec(  # noqa: E731 — grid-invariant
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
-        partial(_kernel, n_v_pad=VP, P=P),
+        partial(_kernel, P=P),
         out_shape=jax.ShapeDtypeStruct((B, UP, VP), jnp.float32),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, VP), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((UP, 1), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, VP, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, UP, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            inv((P, P)),
+            inv((P, P)),
+            inv((P, P)),
         ],
         out_specs=pl.BlockSpec((1, UP, VP), lambda i: (i, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((VP, P), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            # the grid-invariant Hpair block double-buffers under the
+            # the grid-invariant H blocks double-buffer under the
             # default 16M scoped-vmem accounting
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pv_p, po_t, h_pad)
+    )(pv_p, po_p, h1, h2, h3)
     return out[:, :n_u, :n_v]
