@@ -197,6 +197,7 @@ def local_energy_reduce(
     topk: str = "exact",
     dedup_unique_max: int | None = None,
     pair_select: str = "auto",
+    prefix_fwd: Callable | None = None,
 ) -> jax.Array:
     """Semi-stochastic screened E_loc (reference ElocMethod.REDUCE,
     vmc/energy/eloc.py:205-323), re-shaped for static-shape XLA:
@@ -222,6 +223,17 @@ def local_energy_reduce(
     deterministic top set keeps the estimator unbiased (the tail draw
     covers whatever remains); approx/segmax only perturb the variance
     split.
+
+    ``prefix_fwd``: optional prefix-sharing forward
+    ``(parent_bits [b, s], child_bits [b, C, s], t_min [b, C]) ->
+    (lp_parent [b, 2], lp_children [b, C, 2])``
+    (ops/fused_rnn_prefix.graph_mpsrnn_logpsi_fused_prefix partial).
+    When set (slim packing only, sorb <= 127), the screened/tail
+    children are sorted by t_min through ONE variadic lax.sort of the
+    packed payload (the det and tail sums are order-invariant, so no
+    inverse permutation is ever applied) and ψ is evaluated with the
+    parent's recurrence prefix reused.  Mutually exclusive with
+    ``dedup_unique_max``.
     """
     h1e, h2e, diag1, K, J = tables
 
@@ -243,6 +255,14 @@ def local_energy_reduce(
         # gathers become 1 (round-3 selection-path rework)
         slim = sorb <= 127 and topk != "approx"
         ow = 7 if slim else 8
+        use_prefix = prefix_fwd is not None and slim
+        if prefix_fwd is not None and not slim:
+            raise ValueError(
+                "prefix_fwd requires the slim 7-bit packing "
+                "(sorb <= 127, topk != 'approx')"
+            )
+        if use_prefix and dedup_unique_max:
+            raise ValueError("prefix_fwd and dedup_unique_max are exclusive")
 
         # packed selection payload: (i | a<<w | j<<2w | b<<3w [| sign])
         merged = _onv_mod.merged_orbital_list(chunk_bits, table.noa, table.nob)
@@ -304,9 +324,12 @@ def local_energy_reduce(
                 # the VPU replaces the [b, kd] scalar-core gather
                 a2o = jnp.pad(opack, ((0, 0), (0, pad))).reshape(b, L, kd)
                 op_sel = jnp.where(first, a2o, 0).sum(axis=1)  # [b, kd]
-                orbs_sel, det_sgn = unpack_fields(op_sel)
-                det_bits = _excite_bits(chunk_bits, orbs_sel, top_idx >= ns)
-                det_h = det_sgn * top_abs
+                flag_det = top_idx >= ns
+                det_abs = top_abs
+                if not use_prefix:
+                    orbs_sel, det_sgn = unpack_fields(op_sel)
+                    det_bits = _excite_bits(chunk_bits, orbs_sel, flag_det)
+                    det_h = det_sgn * top_abs
             else:
                 det_bits, _ = unpack_sel(top_idx)
                 det_h = jnp.take_along_axis(hij_off, top_idx, axis=1)
@@ -315,10 +338,16 @@ def local_energy_reduce(
                 top_abs, top_idx = jax.lax.approx_max_k(absh, kd)
             else:
                 top_abs, top_idx = jax.lax.top_k(absh, kd)  # [b, kd]
-            det_bits, det_sgn = unpack_sel(top_idx)  # [b, kd, sorb]
+            if use_prefix:
+                op_sel = jnp.take_along_axis(opack, top_idx, axis=1)
+                flag_det = top_idx >= ns
+                det_abs = top_abs
+            else:
+                det_bits, det_sgn = unpack_sel(top_idx)  # [b, kd, sorb]
 
             if slim:
-                det_h = det_sgn * top_abs
+                if not use_prefix:
+                    det_h = det_sgn * top_abs
                 # residual tail WITHOUT a scatter: lax.top_k breaks ties
                 # by lowest index, so the selected set is exactly
                 # {|H| > thr} plus the first (kd - #greater) ties
@@ -341,28 +370,59 @@ def local_energy_reduce(
             # gather-free tail payload: one-hot block fetch (exact
             # 8-bit bf16 fields) instead of the [b, n_stoch] gather
             op_t = _onehot_fetch_i32(blk_t, loc_t, opack)
-            orbs_t, st_sgn = unpack_fields(op_t)
-            st_bits = _excite_bits(chunk_bits, orbs_t, draw >= ns)
-            st_h = st_sgn  # only the sign enters the tail estimator
+            if not use_prefix:
+                orbs_t, st_sgn = unpack_fields(op_t)
+                st_bits = _excite_bits(chunk_bits, orbs_t, draw >= ns)
+                st_h = st_sgn  # only the sign enters the tail estimator
         else:
             st_bits, _ = unpack_sel(draw)
             st_h = jnp.take_along_axis(hij_off, draw, axis=1)
 
-        # one fused forward over [self | det | stoch]
-        all_bits = jnp.concatenate(
-            [chunk_bits[:, None, :], det_bits, st_bits], axis=1
-        )
-        flat = all_bits.reshape(b * (1 + kd + n_stoch), sorb)
-        if dedup_unique_max:
-            # peaked states' samples share most of their screened
-            # connected determinants — evaluate ψ once per unique row
-            # (reference Func/use_unique, vmc/energy/flip.py:29-63).
-            # Static-capacity contract: validate dedup_unique_max on
-            # your state with energy/eloc.reduce_unique_count.
-            lp, _nu = dedup_eval(log_psi_fn, flat, dedup_unique_max)
-            lp = lp.reshape(b, 1 + kd + n_stoch, 2)
+        if use_prefix:
+            # prefix-sharing forward: sort the det and tail payloads by
+            # t_min through ONE variadic sort each (no inverse perm —
+            # the det/tail sums below are order-invariant), rebuild the
+            # child bit rows from the sorted payload, and reuse the
+            # parent's recurrence prefix per child block.
+            t_det = prefix_fwd.t_min_packed(op_sel, ow)
+            t_det, op_sel, fd, det_abs_s = jax.lax.sort(
+                (t_det, op_sel, flag_det.astype(jnp.int32),
+                 det_abs.astype(jnp.float32)),
+                dimension=1, num_keys=1,
+            )
+            orbs_sel, det_sgn = unpack_fields(op_sel)
+            det_bits = _excite_bits(chunk_bits, orbs_sel, fd == 1)
+            det_h = det_sgn * det_abs_s.astype(det_sgn.dtype)
+            t_t = prefix_fwd.t_min_packed(op_t, ow)
+            flag_t = draw >= ns
+            t_t, op_t, ft = jax.lax.sort(
+                (t_t, op_t, flag_t.astype(jnp.int32)), dimension=1,
+                num_keys=1,
+            )
+            orbs_t, st_sgn = unpack_fields(op_t)
+            st_bits = _excite_bits(chunk_bits, orbs_t, ft == 1)
+            st_h = st_sgn
+            kids = jnp.concatenate([det_bits, st_bits], axis=1)
+            t_all = jnp.concatenate([t_det, t_t], axis=1)
+            lp_p, lp_c = prefix_fwd(chunk_bits, kids, t_all)
+            lp = jnp.concatenate([lp_p[:, None, :], lp_c], axis=1)
         else:
-            lp = log_psi_fn(flat).reshape(b, 1 + kd + n_stoch, 2)
+            # one fused forward over [self | det | stoch]
+            all_bits = jnp.concatenate(
+                [chunk_bits[:, None, :], det_bits, st_bits], axis=1
+            )
+            flat = all_bits.reshape(b * (1 + kd + n_stoch), sorb)
+            if dedup_unique_max:
+                # peaked states' samples share most of their screened
+                # connected determinants — evaluate ψ once per unique
+                # row (reference Func/use_unique,
+                # vmc/energy/flip.py:29-63).  Static-capacity contract:
+                # validate dedup_unique_max on your state with
+                # energy/eloc.reduce_unique_count.
+                lp, _nu = dedup_eval(log_psi_fn, flat, dedup_unique_max)
+                lp = lp.reshape(b, 1 + kd + n_stoch, 2)
+            else:
+                lp = log_psi_fn(flat).reshape(b, 1 + kd + n_stoch, 2)
         r_re, r_im = cplx.ratio_re_im(lp, lp[:, :1])
         e_diag = hij[:, 0].astype(r_re.dtype)
         det_hr = det_h.astype(r_re.dtype)

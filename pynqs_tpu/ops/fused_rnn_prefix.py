@@ -53,8 +53,10 @@ from pynqs_tpu.ops.fused_rnn import (
 )
 
 __all__ = [
+    "ReducePrefixForward",
     "graph_mpsrnn_logpsi_fused_prefix",
     "prefix_available",
+    "t_min_from_packed",
     "t_min_process_order",
     "sort_children_by_t_min",
 ]
@@ -80,6 +82,33 @@ def t_min_process_order(model, parent_bits, child_bits):
     return jnp.min(
         jnp.where(proc_diff, t_idx, jnp.int32(norb)), axis=-1
     )  # [B, C]
+
+
+def t_min_from_packed(model, opack: jax.Array, orb_width: int):
+    """t_min for packed excitation quadruples (energy/eloc.py's
+    ``opack`` layout: i | a<<w | j<<2w | b<<3w, spin-orbital indices,
+    singles carry (i, a, i, a) — excitation.py:114).  Gather-free: the
+    site→process-position map is applied with a one-hot compare-sum
+    against the static inverse order (fuses into the reduce on the
+    VPU).  Returns int32 of opack's shape."""
+    norb = model.norb
+    order = np.asarray(model._order)
+    inv_order = np.empty(norb, np.int64)
+    inv_order[order] = np.arange(norb)
+    mask = (1 << orb_width) - 1
+    t = jnp.full(opack.shape, norb, jnp.int32)
+    if (inv_order == np.arange(norb)).all():
+        for s in range(4):
+            site = ((opack >> (orb_width * s)) & mask) >> 1
+            t = jnp.minimum(t, site)
+        return t
+    iota = jnp.arange(norb, dtype=jnp.int32)
+    inv = jnp.asarray(inv_order, jnp.int32)
+    for s in range(4):
+        site = ((opack >> (orb_width * s)) & mask) >> 1
+        tpos = jnp.where(site[..., None] == iota, inv, norb).min(-1)
+        t = jnp.minimum(t, tpos)
+    return t
 
 
 def sort_children_by_t_min(child_bits, t_min):
@@ -439,3 +468,46 @@ def graph_mpsrnn_logpsi_fused_prefix(
     )
     lp_c = lp_c.reshape(B, Cp, 2)[:, :C]
     return lp_p, lp_c
+
+
+class ReducePrefixForward:
+    """The ``prefix_fwd`` contract of
+    energy/eloc.local_energy_reduce: bundles the prefix-sharing
+    forward with the packed-quadruple t_min map (the eloc kernel has
+    the packed payload but not the model's site order).
+
+        pf = ReducePrefixForward(model, params)
+        local_energy_reduce(fwd, bits, ..., prefix_fwd=pf)
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        *,
+        child_block: int = 128,
+        parent_block: int = 512,
+        matmul_dtype=jnp.bfloat16,
+        interpret: bool = False,
+    ):
+        if not prefix_available(model):
+            raise ValueError(
+                "prefix sharing supports chain GraphMPSRNN only"
+            )
+        self.model = model
+        self.params = params
+        self.kw = dict(
+            child_block=child_block,
+            parent_block=parent_block,
+            matmul_dtype=matmul_dtype,
+            interpret=interpret,
+        )
+
+    def t_min_packed(self, opack, orb_width: int):
+        return t_min_from_packed(self.model, opack, orb_width)
+
+    def __call__(self, parent_bits, child_bits, t_min):
+        return graph_mpsrnn_logpsi_fused_prefix(
+            self.model, self.params, parent_bits, child_bits, t_min,
+            **self.kw,
+        )

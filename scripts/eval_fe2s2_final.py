@@ -119,12 +119,16 @@ def main():
         # unique set (99.9x% of the mass under DFS) instead of the
         # multinomial counts — removes the count noise entirely; the
         # residual bias is the dropped-mass term (reported alongside).
+        # dead capacity slots (counts == 0, padding bit rows) can carry
+        # NaN/inf through fwd/eloc — mask them out of every reduction
+        # (0 * NaN = NaN poisoned the first capacity-32768 eval)
         live = (counts > 0).astype(jnp.float32)
         lp = jax.lax.map(
             lambda b: fwd(b)[:, 0],
             bits.reshape(-1, args.batch, bits.shape[-1]),
         ).reshape(-1)
-        p = live * jnp.exp(2.0 * (lp - jnp.max(lp)))
+        lp_max = jnp.max(jnp.where(live > 0, lp, -jnp.inf))
+        p = jnp.where(live > 0, jnp.exp(2.0 * (lp - lp_max)), 0.0)
         w_ex = p / p.sum()
         w_ct = counts.astype(jnp.float32) / jnp.maximum(counts.sum(), 1)
         kw = dict(k_det=args.k_det, n_stoch=args.n_stoch, batch=args.batch)
@@ -134,16 +138,18 @@ def main():
         sl = local_energy_reduce(
             fwd, bits, ops_s, sys_.excitation,
             jax.random.fold_in(key, 2), hpair=hp_s, **kw)
-        e = (w_ex * el[:, 0]).sum()
-        e_ct = (w_ct * el[:, 0]).sum()
-        var = (w_ex * (el[:, 0] - e) ** 2).sum()
-        s = (w_ex * sl[:, 0]).sum()
-        return e, e_ct, var, s, dropped
+        el0 = jnp.where(live > 0, el[:, 0], 0.0)
+        sl0 = jnp.where(live > 0, sl[:, 0], 0.0)
+        e = (w_ex * el0).sum()
+        e_ct = (w_ct * el0).sum()
+        var = (w_ex * jnp.where(live > 0, (el0 - e) ** 2, 0.0)).sum()
+        s = (w_ex * sl0).sum()
+        return e, e_ct, var, s, dropped, live.sum()
 
     es, ecs, vs, ss, ds = [], [], [], [], []
     for i in range(args.n_rep):
         t0 = time.time()
-        e, e_ct, var, s, dropped = (
+        e, e_ct, var, s, dropped, n_live = (
             np.asarray(x) for x in one(jax.random.PRNGKey(1000 + i))
         )
         es.append(float(e) + sys_.ecore)
@@ -155,7 +161,8 @@ def main():
               f"({(es[-1] - sys_.e_ref) * 1000:+.3f} mHa)  "
               f"[count-weighted {(ecs[-1] - sys_.e_ref) * 1000:+.3f}]  "
               f"sigma^2 = {vs[-1]:.4g}  <S-S+> = {ss[-1]:.4f}  "
-              f"dropped = {ds[-1]:.3%}  t = {time.time() - t0:.1f}s",
+              f"dropped = {ds[-1]:.3%}  live = {int(n_live)}  "
+              f"t = {time.time() - t0:.1f}s",
               flush=True)
     e_m = float(np.mean(es))
     se = float(np.std(es) / np.sqrt(len(es)))

@@ -12,6 +12,8 @@ Oracle: ops/fused_rnn.graph_mpsrnn_logpsi_fused — itself pinned to
 models/graph_mps_rnn.log_psi (tests/test_fused_rnn.py).
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -146,3 +148,83 @@ def test_prefix_excitation_children():
             kids[b, c] = k
     _check(model, params, jnp.asarray(parents), jnp.asarray(kids),
            sort=True, child_block=4, parent_block=8)
+
+
+def _reduce_system(sorb=12, na=3, nb=3, seed=0):
+    from pynqs_tpu.ops import integrals as ints
+    from pynqs_tpu.utils import System
+
+    rng = np.random.default_rng(seed)
+    h1e = rng.standard_normal((sorb, sorb)) * 0.1
+    h1e = (h1e + h1e.T) / 2
+    h2e = rng.standard_normal(ints.triangle_size(sorb)) * 0.02
+    return System.from_integrals(h1e, h2e, sorb, na, nb, dtype=np.float64)
+
+
+@pytest.mark.parametrize("topk", ["exact", "segmax"])
+def test_reduce_eloc_prefix_matches_flat(topk):
+    """local_energy_reduce(prefix_fwd=...) == the flat-forward path on
+    the same key: the t_min sorts only reorder the order-invariant det
+    and tail sums, and the prefix forward is bit-compatible with the
+    full fused forward (interpret mode on CPU)."""
+    from pynqs_tpu.energy.eloc import local_energy_reduce
+    from pynqs_tpu.ops.fused_rnn import graph_mpsrnn_logpsi_fused
+    from pynqs_tpu.ops.fused_rnn_prefix import ReducePrefixForward
+
+    sys_ = _reduce_system()
+    model, params, bits = _setup(sys_.sorb, sys_.noa, sys_.nob, 8, 11)
+    ops = tuple(jnp.asarray(np.asarray(x), jnp.float32)
+                for x in sys_.tables.astuple())
+    hpair = jnp.asarray(np.asarray(sys_.tables.hpair), jnp.float32)
+    rows = jnp.asarray(bits[np.random.default_rng(1).integers(
+        0, len(bits), size=10)])
+
+    flat_fwd = partial(
+        graph_mpsrnn_logpsi_fused, model, params,
+        interpret=True, matmul_dtype=jnp.float32,
+    )
+    pf = ReducePrefixForward(
+        model, params, child_block=8, parent_block=8,
+        matmul_dtype=jnp.float32, interpret=True,
+    )
+    kw = dict(k_det=16, n_stoch=8, hpair=hpair, topk=topk)
+    key = jax.random.PRNGKey(3)
+    e_flat = np.asarray(local_energy_reduce(
+        flat_fwd, rows, ops, sys_.excitation, key, **kw))
+    e_pref = np.asarray(local_energy_reduce(
+        flat_fwd, rows, ops, sys_.excitation, key, prefix_fwd=pf, **kw))
+    np.testing.assert_allclose(e_pref, e_flat, atol=2e-5, rtol=0)
+
+    # chunked path
+    e_pref_b = np.asarray(local_energy_reduce(
+        flat_fwd, rows, ops, sys_.excitation, key, prefix_fwd=pf,
+        batch=5, **kw))
+    e_flat_b = np.asarray(local_energy_reduce(
+        flat_fwd, rows, ops, sys_.excitation, key, batch=5, **kw))
+    np.testing.assert_allclose(e_pref_b, e_flat_b, atol=2e-5, rtol=0)
+
+
+def test_t_min_from_packed_matches_bits():
+    """Packed-quadruple t_min == the bit-diff t_min on the built rows."""
+    from pynqs_tpu.ops.fused_rnn_prefix import t_min_from_packed
+
+    sys_ = _reduce_system()
+    model, _, bits = _setup(sys_.sorb, sys_.noa, sys_.nob, 4, 2)
+    from pynqs_tpu.ops import onv as onv_ops
+    from pynqs_tpu.energy.eloc import _excite_bits
+
+    table = sys_.excitation
+    rows = jnp.asarray(bits[:7])
+    merged = onv_ops.merged_orbital_list(rows, table.noa, table.nob)
+    orbs = jnp.take(merged, jnp.asarray(table.pos), axis=-1)  # [B,n_sd,4]
+    ow = 7
+    opack = (
+        orbs[..., 0] | (orbs[..., 1] << ow) | (orbs[..., 2] << (2 * ow))
+        | (orbs[..., 3] << (3 * ow))
+    ).astype(jnp.int32)
+    got = np.asarray(t_min_from_packed(model, opack, ow))
+    ns = table.n_singles
+    is_d = jnp.arange(table.n_sd)[None, :] >= ns
+    kids = _excite_bits(rows, orbs, jnp.broadcast_to(is_d, opack.shape))
+    want = np.asarray(t_min_process_order(model, rows, kids))
+    np.testing.assert_array_equal(got, want)
