@@ -93,8 +93,14 @@ def main():
 
     t = sys_.tables
     ops = tuple(jnp.asarray(np.asarray(x), jnp.float32) for x in t.astuple())
+    # spin-sector Hpair blocks: the round-4 doubles operand (exact,
+    # ~5.8x fewer MXU FLOPs than the dense pair matrix)
     hpair = (
-        None if t.hpair is None else jnp.asarray(np.asarray(t.hpair), jnp.float32)
+        None
+        if t.hpair_best is None
+        else jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float32), t.hpair_best
+        )
     )
     table = sys_.excitation
 
@@ -133,6 +139,26 @@ def main():
     if jax.default_backend() == "cpu":  # no Mosaic off-TPU
         fwd = partial(model.log_psi, params)
 
+    # forward mode: "flat" (default — dedup'd full forward; fastest
+    # measured at norb=20: 57 ms vs prefix 91 ms, see
+    # ops/fused_rnn_prefix.py MEASURED note), "prefix" reuses each
+    # sample's recurrence prefix for its screened/tail children
+    # (ops/fused_rnn_prefix; chain models only).  A/B with BENCH_MODE.
+    mode = os.environ.get("BENCH_MODE", "flat")
+    prefix_fwd = None
+    if mode == "prefix" and jax.default_backend() != "cpu":
+        from pynqs_tpu.ops.fused_rnn_prefix import (
+            ReducePrefixForward,
+            prefix_available,
+        )
+
+        if prefix_available(model):
+            prefix_fwd = ReducePrefixForward(
+                model, params,
+                child_block=int(os.environ.get("BENCH_CHILD_BLOCK", 128)),
+            )
+            dedup = None
+
     @jax.jit
     def eloc_fn(bits, key):
         return local_energy_reduce(
@@ -141,6 +167,7 @@ def main():
             topk="segmax",  # sort-free selection: unbiased (tested,
             # tests/test_sampling_r2.py gradient-quality gate), -12 ms
             dedup_unique_max=dedup,
+            prefix_fwd=prefix_fwd,
         )
 
     keys = [jax.random.PRNGKey(i) for i in range(8)]

@@ -70,7 +70,7 @@ class NqsCi:
         self.cfg = config or NqsCiConfig()
         self.tx = optax.adam(self.cfg.lr)
         ops = system.tables.astuple()
-        hpair = system.tables.hpair
+        hpair = system.tables.hpair_best
         table = system.excitation
         self._ops = ops
         self._table = table
@@ -270,8 +270,8 @@ def ci_polish(
     ops = tuple(jnp.asarray(np.asarray(x)) for x in system.tables.astuple())
     hpair = (
         None
-        if system.tables.hpair is None
-        else jnp.asarray(np.asarray(system.tables.hpair))
+        if system.tables.hpair_best is None
+        else jax.tree.map(jnp.asarray, system.tables.hpair_best)
     )
     table = system.excitation
     d_bits = jnp.asarray(d_bits, jnp.int8)

@@ -96,7 +96,7 @@ class GFMC:
         self.cfg = config or GFMCConfig()
         self.mesh = mesh
         self._ops = system.tables.astuple()
-        self._hpair = system.tables.hpair
+        self._hpair = system.tables.hpair_best
         self._table = system.excitation
         if mesh is not None:
             from pynqs_tpu.parallel.mesh import batch_sharding

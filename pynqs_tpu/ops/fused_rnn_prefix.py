@@ -31,6 +31,17 @@ child block replays the same f32 op sequence the full forward would
 run from site s0 (tests/test_fused_prefix.py pins it to
 graph_mpsrnn_logpsi_fused).
 
+MEASURED on-chip (2026-08-19, scripts/tpu_prefix_check.py, Fe2S2
+dcut=48 B=2048 k=512/n=128): parity exact (|Δlog| ≤ 8e-6 vs flat) but
+SLOWER — 91 ms/step vs 57 ms flat.  At norb=20 the skipped prefix
+(~30% of site-steps) cannot pay for the smaller child lane block
+(TBc=128 vs the flat kernel's 512 — 4x the grid steps at 1/4 the
+lane efficiency) plus the 16 MB history round-trip and the dynamic
+fori_loop the static kernel unrolls.  The path is kept OPT-IN
+(VMCConfig.eloc_prefix / BENCH_MODE=prefix) as the geometry lever for
+long chains (norb ≥ 64, where the prefix fraction and the per-block
+site count both grow); it is NOT the production default.
+
 Reference anchor: the ψ-evaluation half of get_comb_hij_fused's
 consumers (vmc/energy/eloc.py:205-323) — the reference re-evaluates
 every connected determinant from scratch.
@@ -254,18 +265,26 @@ def _child_kernel(
     s0_ref, sc_ref, vals_ref, W_ref, vcat_ref, E_ref, pw_ref,
     hh_ref, sh_ref, out_ref, *, static,
 ):
-    norb, d, dp, noa, nob, phase_mode, norm_mode, mmdt = static
+    norb, d, dp, noa, nob, phase_mode, norm_mode, mmdt, bpp, bw = static
     TB = vals_ref.shape[1]
     f32 = jnp.float32
-    s0 = s0_ref[0, 0]
+    # s0_ref is a scalar-prefetch arg (whole [B*bpp] vector): Mosaic
+    # rejects (1, 1) SMEM blocks over a tall array, so index by grid id
+    g = pl.program_id(0)
+    s0 = s0_ref[g]
     started = s0 > 0
     ip = jnp.maximum(s0 - 1, 0)
-    # parent state at s0-1 (whole-block broadcast; s0 == 0 -> fresh)
-    h_p = hh_ref[pl.ds(ip, 1), :, :][0]
-    s_p = sh_ref[pl.ds(ip, 1), :, :][0]
+    # parent state at s0-1.  The history block carries ``bw`` parents on
+    # the lane axis (Mosaic requires ≥128-lane or full-axis blocks);
+    # pick this block's parent column with a one-hot lane mask + lane
+    # reduce — pure VPU, no gathers.
+    col = (g // bpp) % bw
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1)
+    msk = (lane == col).astype(f32)
+    h_p = jnp.sum(hh_ref[pl.ds(ip, 1), :, :][0] * msk, 1, keepdims=True)
+    s_p = jnp.sum(sh_ref[pl.ds(ip, 1), :, :][0] * msk, 1, keepdims=True)
     on = started.astype(f32)
-    h = jnp.broadcast_to(h_p, (2 * dp, 1)) * on
-    h = jnp.broadcast_to(h, (2 * dp, TB))
+    h = jnp.broadcast_to(h_p * on, (2 * dp, TB))
     p0 = 1.0 if phase_mode == "arg" else 0.0
     la = jnp.broadcast_to(s_p[0:1] * on, (1, TB))
     pre = jnp.broadcast_to(s_p[1:2] * on + (1.0 - on) * p0, (1, TB))
@@ -280,7 +299,7 @@ def _child_kernel(
         vc_t = vcat_ref[pl.ds(t, 1), :, :][0]
         e_t = E_ref[pl.ds(t, 1), :, :][0]
         pw_t = pw_ref[pl.ds(t, 1), :, :][0]
-        sc_t = [sc_ref[t, v] for v in range(4)]
+        sc_t = [sc_ref[t, v] for v in range(4)]  # noqa: B023 (ref, not val)
         return _site_math(
             t.astype(f32), x, h, la, pre, pim, ua, ub,
             w_t, vc_t, e_t, pw_t, sc_t,
@@ -421,28 +440,46 @@ def graph_mpsrnn_logpsi_fused_prefix(
         )
     bpp = Cp // TBc
     # per-block start = min t_min over the block (sorted input -> first)
-    s0 = tm.reshape(B, bpp, TBc).min(-1).reshape(B * bpp, 1)
+    s0 = tm.reshape(B, bpp, TBc).min(-1).reshape(B * bpp)
     # children laid out parent-major so block g covers parent g // bpp
     cv_flat = cv.reshape(B * Cp, norb).T  # [norb, B*Cp]
+    # history blocks carry bw parents on the lane axis (Mosaic lane rule)
+    bw = 128 if Bp % 128 == 0 else Bp
 
+    # s0 rides scalar prefetch (whole vector, indexed by program_id in
+    # the kernel); index maps take the scalar ref as a trailing arg
     c_out = pl.pallas_call(
-        partial(_child_kernel, static=static),
+        partial(_child_kernel, static=static + (bpp, bw)),
         out_shape=jax.ShapeDtypeStruct((8, B * Cp), jnp.float32),
-        grid=(B * bpp,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda g: (g, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((norb, 4), lambda g: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((norb, TBc), lambda g: (0, g)),
-            inv((norb, 8 * dp, 2 * dp)),
-            inv((norb, 8 * dp, 1)),
-            inv((norb, 8 * dp, 1)),
-            inv((norb, 8, 2 * dp)),
-            pl.BlockSpec(
-                (norb, 2 * dp, 1), lambda g, _bpp=bpp: (0, 0, g // _bpp)
-            ),
-            pl.BlockSpec((norb, 8, 1), lambda g, _bpp=bpp: (0, 0, g // _bpp)),
-        ],
-        out_specs=pl.BlockSpec((8, TBc), lambda g: (0, g)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * bpp,),
+            in_specs=[
+                pl.BlockSpec(
+                    (norb, 4), lambda g, s: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec((norb, TBc), lambda g, s: (0, g)),
+                pl.BlockSpec(
+                    (norb, 8 * dp, 2 * dp), lambda g, s: (0, 0, 0)
+                ),
+                pl.BlockSpec((norb, 8 * dp, 1), lambda g, s: (0, 0, 0)),
+                pl.BlockSpec((norb, 8 * dp, 1), lambda g, s: (0, 0, 0)),
+                pl.BlockSpec((norb, 8, 2 * dp), lambda g, s: (0, 0, 0)),
+                pl.BlockSpec(
+                    (norb, 2 * dp, bw),
+                    lambda g, s, _bpp=bpp, _bw=bw: (
+                        0, 0, (g // _bpp) // _bw
+                    ),
+                ),
+                pl.BlockSpec(
+                    (norb, 8, bw),
+                    lambda g, s, _bpp=bpp, _bw=bw: (
+                        0, 0, (g // _bpp) // _bw
+                    ),
+                ),
+            ],
+            out_specs=pl.BlockSpec((8, TBc), lambda g, s: (0, g)),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),

@@ -46,6 +46,133 @@ __all__ = [
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _split3(x):
+    """Three-term bf16 split of an f32/f64 array: hi + lo + lo2 carries
+    >= 24 mantissa bits, so a one-hot (exact bf16) x split3 contraction
+    accumulated in f32 is f32-faithful at single-pass cost per term."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    lo = r1.astype(jnp.bfloat16)
+    lo2 = (r1 - lo.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo, lo2
+
+
+def _pair_sector(slot_pairs: np.ndarray) -> np.ndarray:
+    """Static spin sector of merged-list slot pairs: 0 = alpha-alpha,
+    1 = beta-beta, 2 = alpha-beta (even slots hold alpha orbitals —
+    onv.merged_orbital_list's interleaved layout)."""
+    par = slot_pairs % 2
+    return np.where(
+        (par[:, 0] == 0) & (par[:, 1] == 0),
+        0,
+        np.where((par[:, 0] == 1) & (par[:, 1] == 1), 1, 2),
+    )
+
+
+def _doubles_pair_values(merged, hpair_sect, table, dtype):
+    """Unsigned <ij||ab> per double via per-SPIN-SECTOR one-hot MXU
+    selection (round 4).
+
+    A pair's total Sz labels its (aa, bb, ab) sector, and every SD
+    double couples a same-sector occupied pair to a same-sector
+    virtual pair — so the doubles selection never reads a
+    cross-sector entry of the pair matrix (for Sz-conserving
+    integrals those entries are zero anyway).  Contracting each
+    sector against its own block (sector-local pair indexing,
+    ops/integrals.sector_pair_index) instead of the full npair-wide
+    matrix cuts the dominant one-hot operand's FLOPs ~5.8x and HBM
+    traffic ~2.6x at Fe2S2 geometry — exact for arbitrary h2e, not an
+    approximation.
+
+    merged: [B, sorb] interleaved orbital list; hpair_sect: (H_aa,
+    H_bb, H_ab) sector blocks.  Returns [B, n_doubles] f(dtype) values
+    in the table's double order (signs applied by the caller).
+    """
+    B = merged.shape[0]
+    norb = table.sorb // 2
+    up = np.asarray(table.upairs)
+    vp = np.asarray(table.vpairs)
+    su = _pair_sector(up)
+    sv = _pair_sector(vp)
+    # construction order aaaa -> bbbb -> abab makes sectors contiguous
+    assert (np.diff(su) >= 0).all() and (np.diff(sv) >= 0).all()
+    npair_s = (norb * (norb - 1) // 2, norb * (norb - 1) // 2, norb * norb)
+
+    def local_pair_idx(slots, sector):
+        o1 = jnp.take(merged, jnp.asarray(slots[:, 0]), axis=-1)
+        o2 = jnp.take(merged, jnp.asarray(slots[:, 1]), axis=-1)
+        if sector < 2:  # same-spin: spatial triangle index
+            s1, s2 = o1 >> 1, o2 >> 1
+            hi = jnp.maximum(s1, s2)
+            lo = jnp.minimum(s1, s2)
+            return hi * (hi - 1) // 2 + lo
+        # ab: the alpha member is the even SLOT (static parity)
+        a_first = jnp.asarray(slots[:, 0] % 2 == 0)
+        oa = jnp.where(a_first, o1, o2)
+        ob = jnp.where(a_first, o2, o1)
+        return (oa >> 1) * norb + (ob >> 1)
+
+    parts = []
+    off = np.zeros(3, np.int64)  # flat offset of each sector's W block
+    u_start = np.zeros(3, np.int64)
+    v_start = np.zeros(3, np.int64)
+    n_vs_arr = np.zeros(3, np.int64)
+    cur = 0
+    for s in range(3):
+        us = np.flatnonzero(su == s)
+        vs = np.flatnonzero(sv == s)
+        n_us, n_vs = len(us), len(vs)
+        off[s] = cur
+        u_start[s] = us[0] if n_us else 0
+        v_start[s] = vs[0] if n_vs else 0
+        n_vs_arr[s] = n_vs
+        if n_us == 0 or n_vs == 0:
+            continue
+        po_s = local_pair_idx(up[us], s)  # [B, n_us]
+        pv_s = local_pair_idx(vp[vs], s)  # [B, n_vs]
+        Hs = hpair_sect[s]
+        nps = npair_s[s]
+        if dtype == jnp.float32:
+            # exact bf16 one-hots x 3-way bf16-split integral side,
+            # f32 accumulate; T's splits stacked so the larger Po
+            # one-hot streams through the MXU once (same scheme as the
+            # dense path below, per sector)
+            Pv = jax.nn.one_hot(pv_s, nps, dtype=jnp.bfloat16)
+            Po = jax.nn.one_hot(po_s, nps, dtype=jnp.bfloat16)
+            T = sum(
+                jnp.einsum(
+                    "bvp,pq->bvq", Pv, h_k,
+                    preferred_element_type=jnp.float32,
+                )
+                for h_k in _split3(Hs)
+            )  # [B, n_vs, nps] f32
+            T3 = jnp.concatenate(list(_split3(T)), axis=1)
+            W3 = jnp.einsum(
+                "bup,bvp->buv", Po, T3,
+                preferred_element_type=jnp.float32,
+            )  # [B, n_us, 3*n_vs]
+            W = W3.reshape(B, n_us, 3, n_vs).sum(2)
+        else:
+            Pv = jax.nn.one_hot(pv_s, nps, dtype=dtype)
+            T = jnp.einsum("bvp,pq->bvq", Pv, Hs, precision=_HI)
+            Po = jax.nn.one_hot(po_s, nps, dtype=dtype)
+            W = jnp.einsum("bup,bvp->buv", Po, T, precision=_HI)
+        parts.append(W.reshape(B, n_us * n_vs))
+        cur += n_us * n_vs
+    Wcat = jnp.concatenate(parts, axis=-1)
+    # static per-double flat index into the sector-blocked layout
+    u_of_k = table.u_of_k.astype(np.int64)
+    v_of_k = table.v_of_k.astype(np.int64)
+    sk = su[u_of_k]
+    assert (sk == sv[v_of_k]).all()  # doubles conserve spin
+    uv = (
+        off[sk]
+        + (u_of_k - u_start[sk]) * n_vs_arr[sk]
+        + (v_of_k - v_start[sk])
+    )
+    return jnp.take(Wcat, jnp.asarray(uv), axis=-1)  # static idx [B, nd]
+
+
 def hij_diagonal(bits: jax.Array, diag1: jax.Array, K: jax.Array) -> jax.Array:
     """<n|H|n> for a batch. bits [B, sorb] -> [B]."""
     occ = bits.astype(K.dtype)
@@ -171,7 +298,21 @@ def comb_hij(
     p1 = jnp.minimum(i_d, j_d)
     q0 = jnp.maximum(a_d, b_d)
     q1 = jnp.minimum(a_d, b_d)
-    if hpair is not None and table.upairs is not None and nd > 0:
+    if (
+        isinstance(hpair, (tuple, list))
+        and table.upairs is not None
+        and nd > 0
+    ):
+        # preferred round-4 path: per-spin-sector one-hot selection
+        # over the (H_aa, H_bb, H_ab) blocks — exact, ~5.8x fewer
+        # FLOPs than the dense pair matrix (see _doubles_pair_values)
+        if pair_select in ("pallas", "pallas_interpret"):
+            raise ValueError(
+                "pair_select='pallas' needs the dense hpair matrix, "
+                "not sector blocks"
+            )
+        val_d = _doubles_pair_values(merged, hpair, table, dtype)
+    elif hpair is not None and table.upairs is not None and nd > 0:
         # MXU path: XLA's TPU gather runs on the scalar core (~9 ns per
         # element — 140 ms for [2048, 7725] on Fe2S2).  Instead select
         # the needed <ij||ab> values through exact one-hot matmuls over

@@ -254,6 +254,51 @@ class HijTables:
     # matmuls instead of scalar-bound random gathers; None when the
     # pair space is too large to materialize (> ~4096 pairs).
     Hpair: np.ndarray | None = None
+    # spin-sector blocks (H_aa, H_bb, H_ab) of Hpair in sector-local
+    # pair indexing (see sector_pair_index).  A pair's total Sz labels
+    # its sector, so every SD double couples a same-sector occupied
+    # pair to a same-sector virtual pair — the doubles path never
+    # reads a cross-sector entry (and for Sz-conserving integrals
+    # those entries are exactly zero anyway).  Contracting per sector
+    # shrinks the one-hot doubles selection from npair-wide to
+    # 190/190/400-wide at sorb=40 (~5.8x fewer MXU FLOPs, ~2.6x less
+    # one-hot HBM traffic).  Exact for arbitrary h2e.
+    Hpair_sect: tuple | None = None
+
+
+def sector_pair_index(sorb: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Global canonical-pair index of each sector-local pair.
+
+    Sector-local layouts (norb = sorb // 2 spatial orbitals):
+      aa: pairs of alpha spin orbitals (2p_hi, 2p_lo), p_hi > p_lo,
+          local index p_hi(p_hi-1)/2 + p_lo            [norb(norb-1)/2]
+      bb: same over beta orbitals (2p+1)               [norb(norb-1)/2]
+      ab: (alpha 2p_a, beta 2p_b+1), local p_a*norb+p_b    [norb*norb]
+
+    Returns (idx_aa, idx_bb, idx_ab) int64 arrays mapping local -> the
+    hi(hi-1)/2+lo canonical index over spin-orbital pairs.
+    """
+    norb = sorb // 2
+
+    def tri(hi, lo):
+        return hi.astype(np.int64) * (hi - 1) // 2 + lo
+
+    ph, pl = np.tril_indices(norb, -1)  # row-major: local = ph(ph-1)/2+pl
+    idx_aa = tri(2 * ph, 2 * pl)
+    idx_bb = tri(2 * ph + 1, 2 * pl + 1)
+    pa = np.repeat(np.arange(norb), norb)
+    pb = np.tile(np.arange(norb), norb)
+    oa, ob = 2 * pa, 2 * pb + 1
+    idx_ab = tri(np.maximum(oa, ob), np.minimum(oa, ob))
+    return idx_aa, idx_bb, idx_ab
+
+
+def hpair_sector_blocks(Hpair: np.ndarray, sorb: int) -> tuple:
+    """(H_aa, H_bb, H_ab) same-sector blocks of the dense pair matrix."""
+    blocks = []
+    for idx in sector_pair_index(sorb):
+        blocks.append(np.ascontiguousarray(Hpair[np.ix_(idx, idx)]))
+    return tuple(blocks)
 
 
 def precompute_hij_tables(
@@ -276,12 +321,14 @@ def precompute_hij_tables(
 
     npair = pair_count(sorb)
     Hpair = None
+    Hpair_sect = None
     if npair <= 4096:
         a, b = np.tril_indices(npair)
         tri = a * (a + 1) // 2 + b
         Hpair = np.zeros((npair, npair), dtype=dtype)
         Hpair[a, b] = h2e_c[tri]
         Hpair[b, a] = h2e_c[tri]
+        Hpair_sect = hpair_sector_blocks(Hpair, sorb)
     return HijTables(
         sorb=sorb,
         h1e=np.ascontiguousarray(h1e, dtype=dtype),
@@ -290,4 +337,5 @@ def precompute_hij_tables(
         K=np.ascontiguousarray(K),
         J=np.ascontiguousarray(J.reshape(sorb, sorb * sorb)),
         Hpair=Hpair,
+        Hpair_sect=Hpair_sect,
     )

@@ -58,16 +58,25 @@ def _kernel(pv_ref, po_ref, h1_ref, h2_ref, h3_ref, out_ref, *, P):
     oh_v = (pv == iota_v).astype(bf16)  # [VP, P]
     oh_u = (po == iota_u).astype(bf16)  # [UP, P]
 
-    dn = (((1,), (1,)), ((), ()))  # contract lane dims: A[i,p] B[j,p]
+    # T[v, q] = H_k[pv[v], q]: contract the one-hot against H's ROW
+    # index directly (standard matmul).  An earlier form transposed H
+    # in-kernel (`h_ref[...].T` + lane-lane contraction) and was the
+    # prime miscompile suspect — but this transpose-free rewrite STILL
+    # returns wrong values on the axon backend (max err 6.77 vs numpy,
+    # scripts/tpu_pallas_hij_check.py, 2026-08-19) while being exact in
+    # interpret mode and on the CPU backend.  The miscompile is
+    # elsewhere (second lane-lane dot or the (1, VP, 1) index blocks).
+    # The kernel therefore stays OFF `auto` (hamiltonian.comb_hij gates
+    # it behind pair_select="pallas") — diagnostic/opt-in only.
+    dn_row = (((1,), (0,)), ((), ()))  # A[v,p] B[p,q] -> [v,q]
+    dn_lane = (((1,), (1,)), ((), ()))  # A[u,q] B[v,q] -> [u,v]
     w = jnp.zeros((UP, VP), f32)
     for h_ref in (h1_ref, h2_ref, h3_ref):
-        # T[v, :] = H_k[pv[v], :] — contract the one-hot against the
-        # ROW index of H_k (i.e. against H_k^T's lane dim)
         t = jax.lax.dot_general(
-            oh_v, h_ref[...].T, dn, preferred_element_type=f32
+            oh_v, h_ref[...], dn_row, preferred_element_type=f32
         )  # [VP, P]
         w += jax.lax.dot_general(
-            oh_u, t.astype(bf16), dn, preferred_element_type=f32
+            oh_u, t.astype(bf16), dn_lane, preferred_element_type=f32
         )  # [UP, VP]; lossless downcast (T entries are H_k entries)
     out_ref[0] = w
 

@@ -43,6 +43,10 @@ class VMCConfig:
     # per unique connected determinant per eloc chunk.  Static unique
     # capacity — size with energy/eloc.reduce_unique_count first.
     eloc_dedup_max: int | None = None
+    # prefix-sharing eloc forward (ops/fused_rnn_prefix): reuse each
+    # sample's recurrence prefix for its screened/tail children.
+    # Chain GraphMPSRNN + TPU only; exclusive with eloc_dedup_max.
+    eloc_prefix: bool = False
     clip_grad: float | None = 1.0  # global-norm clip; None = off
     optimizer: optax.GradientTransformation | None = None
     log_every: int = 25
@@ -127,7 +131,7 @@ class VMC:
         # dynamic input so the 3-sigma adaptation needs no recompile)
         self.tx = tx
         self._ops = system.tables.astuple()
-        self._hpair = system.tables.hpair
+        self._hpair = system.tables.hpair_best
         self._table = system.excitation
         self.history: list[float] = []
 
@@ -168,6 +172,29 @@ class VMC:
                 )
         return partial(self.model.log_psi, params)
 
+    def _eloc_prefix_fwd(self, params):
+        """ReducePrefixForward for the REDUCE eloc (cfg.eloc_prefix)."""
+        if not self.cfg.eloc_prefix:
+            return None
+        from pynqs_tpu.ops.fused_rnn_prefix import (
+            ReducePrefixForward,
+            prefix_available,
+        )
+
+        if not prefix_available(self.model):
+            return None
+        import jax.numpy as _jnp
+
+        dt = (
+            _jnp.float32
+            if self.cfg.fused_matmul_dtype == "f32"
+            else _jnp.bfloat16
+        )
+        return ReducePrefixForward(
+            self.model, params, matmul_dtype=dt,
+            interpret=jax.default_backend() == "cpu",
+        )
+
     def _build_step(self, sampler):
         @jax.jit
         def step(params, opt_state, key, chain_state, clip_val, gmask):
@@ -203,6 +230,7 @@ class VMC:
                     hpair=self._hpair,
                     topk=self.cfg.eloc_topk,
                     dedup_unique_max=self.cfg.eloc_dedup_max,
+                    prefix_fwd=self._eloc_prefix_fwd(params),
                 )
             else:
                 eloc = local_energy_simple(
@@ -302,6 +330,7 @@ class VMC:
                 k_det=self.cfg.eloc_k_det, n_stoch=self.cfg.eloc_n_stoch,
                 batch=self.cfg.eloc_batch, hpair=hp,
                 topk=self.cfg.eloc_topk,
+                prefix_fwd=self._eloc_prefix_fwd(params),
             )
         else:
             oloc = local_energy_simple(

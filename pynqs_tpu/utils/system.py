@@ -39,9 +39,18 @@ class DeviceTables:
     K: jnp.ndarray
     J: jnp.ndarray
     hpair: jnp.ndarray | None = None  # dense pair matrix (MXU doubles)
+    # spin-sector blocks (H_aa, H_bb, H_ab) — the preferred comb_hij
+    # doubles operand (exact, ~5.8x fewer FLOPs than the dense matrix;
+    # ops/integrals.hpair_sector_blocks)
+    hpair_sect: tuple | None = None
 
     def astuple(self):
         return (self.h1e, self.h2e, self.diag1, self.K, self.J)
+
+    @property
+    def hpair_best(self):
+        """Fastest available doubles operand for comb_hij."""
+        return self.hpair_sect if self.hpair_sect is not None else self.hpair
 
 
 @dataclass(frozen=True)
@@ -78,6 +87,9 @@ class System:
             K=jnp.asarray(t.K),
             J=jnp.asarray(t.J),
             hpair=None if t.Hpair is None else jnp.asarray(t.Hpair),
+            hpair_sect=None
+            if t.Hpair_sect is None
+            else tuple(jnp.asarray(b) for b in t.Hpair_sect),
         )
 
     def with_operator(

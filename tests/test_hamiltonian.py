@@ -260,3 +260,108 @@ def test_comb_hij_pallas_pair_select_parity():
     a_r = np.asarray(hij_64)
     assert np.abs(a_p - a_r).max() <= np.abs(a_x - a_r).max() + 1e-7
     assert np.abs(a_p - a_r).max() < 5e-6, np.abs(a_p - a_r).max()
+
+
+def test_hpair_cross_sector_zero_and_block_coverage():
+    """For an Sz-conserving operator (any spatial-integral H) every
+    cross-sector entry of the dense pair matrix is exactly zero, the
+    three sectors partition the pair space, and the (aa, bb, ab)
+    blocks equal the corresponding Hpair submatrices.  (The sector
+    doubles PATH is exact for arbitrary h2e regardless — SD doubles
+    are Sz-conserving and never reference cross-sector entries; see
+    test_comb_hij_sector_blocks_match_dense with random h2e.)"""
+    from pynqs_tpu.ops.integrals import sector_pair_index
+    from pynqs_tpu.utils import System
+
+    norb = 5
+    sorb = 2 * norb
+    rng = np.random.default_rng(5)
+    hcore = rng.standard_normal((norb, norb))
+    hcore = (hcore + hcore.T) / 2
+    eri = rng.standard_normal((norb,) * 4)
+    # chemist-notation 8-fold symmetry
+    eri = eri + eri.transpose(1, 0, 2, 3)
+    eri = eri + eri.transpose(0, 1, 3, 2)
+    eri = eri + eri.transpose(2, 3, 0, 1)
+    sys = System.from_spatial(hcore, eri, 2, 2)
+    from pynqs_tpu.ops.integrals import precompute_hij_tables
+
+    t = precompute_hij_tables(sys.h1e, sys.h2e, sorb)
+    idx = sector_pair_index(sorb)
+    npair = t.Hpair.shape[0]
+    # the three sectors partition the pair space
+    allidx = np.concatenate(idx)
+    assert len(allidx) == npair and len(np.unique(allidx)) == npair
+    sec_of = np.empty(npair, np.int64)
+    for s, ix in enumerate(idx):
+        sec_of[ix] = s
+    cross = sec_of[:, None] != sec_of[None, :]
+    assert np.abs(t.Hpair[cross]).max() == 0.0
+    for s, ix in enumerate(idx):
+        np.testing.assert_array_equal(
+            t.Hpair_sect[s], t.Hpair[np.ix_(ix, ix)]
+        )
+
+
+def test_comb_hij_sector_blocks_match_dense():
+    """The per-spin-sector doubles path (hpair as (H_aa, H_bb, H_ab))
+    must reproduce the dense-hpair and triangle-gather paths exactly
+    in f64 and f32-faithfully in f32 — all sectors exercised
+    (noa != nob)."""
+    from pynqs_tpu.utils import System
+    from pynqs_tpu.ops.integrals import triangle_size
+
+    rng = np.random.default_rng(17)
+    sorb, noa, nob = 12, 4, 3
+    h1e = rng.standard_normal((sorb, sorb)) * 0.3
+    h1e = (h1e + h1e.T) / 2
+    h2e_c = rng.standard_normal(triangle_size(sorb)) * 0.2
+    space = oracle.fci_space(sorb, noa, nob)
+    pick = rng.choice(len(space), size=16, replace=False)
+    bits = jnp.asarray(
+        np.stack([oracle.det_to_bits(space[i], sorb) for i in pick])
+    )
+
+    for np_dtype, tol in ((np.float64, 1e-12), (np.float32, 2e-6)):
+        sys = System.from_integrals(
+            h1e, h2e_c, sorb, noa, nob, dtype=np_dtype
+        )
+        assert sys.tables.hpair_sect is not None
+        ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+        hp = jnp.asarray(np.asarray(sys.tables.hpair))
+        hps = tuple(jnp.asarray(np.asarray(b)) for b in sys.tables.hpair_sect)
+        _, hij_gather = comb_hij(bits, *ops, None, table=sys.excitation,
+                                 with_comb=False)
+        _, hij_dense_p = comb_hij(bits, *ops, hp, table=sys.excitation,
+                                  with_comb=False)
+        _, hij_sect = comb_hij(bits, *ops, hps, table=sys.excitation,
+                               with_comb=False)
+        a = np.asarray(hij_gather, np.float64)
+        s = np.asarray(hij_sect, np.float64)
+        d = np.asarray(hij_dense_p, np.float64)
+        scale = np.abs(a).max()
+        assert np.abs(s - a).max() < tol * scale, np.abs(s - a).max()
+        assert np.abs(s - d).max() < tol * scale, np.abs(s - d).max()
+
+
+def test_comb_hij_sector_blocks_empty_sector():
+    """Sector path with an empty same-spin sector (single virtual per
+    channel -> no aa/bb doubles) and with noa < 2."""
+    from pynqs_tpu.utils import System
+
+    for sorb, noa, nob in ((8, 3, 3), (8, 1, 3)):
+        sys = System.hubbard_1d(sorb // 2, noa, nob, u=4.0)
+        if sys.tables.hpair_sect is None:
+            continue
+        ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+        hps = tuple(jnp.asarray(np.asarray(b)) for b in sys.tables.hpair_sect)
+        from pynqs_tpu.utils import fci
+
+        bits = jnp.asarray(fci.fci_bits(sorb, noa, nob))[:12]
+        _, hij_gather = comb_hij(bits, *ops, None, table=sys.excitation,
+                                 with_comb=False)
+        _, hij_sect = comb_hij(bits, *ops, hps, table=sys.excitation,
+                               with_comb=False)
+        np.testing.assert_allclose(
+            np.asarray(hij_sect), np.asarray(hij_gather), atol=1e-10
+        )
