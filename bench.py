@@ -4,12 +4,12 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the production path end to end: Graph-MPS-RNN (dcut=48, the
 Fe2S2 flagship ladder configuration, trained checkpoint when present)
-with the semi-stochastic REDUCE local energy (k_det=512 / n_stoch=128,
-the training recipe) — fused Slater–Condon comb+Hij kernel, tie-exact
-top-k screen + packed-sign single-gather selection, stratified CDF
-tail draws, per-chunk forward DEDUP (ψ once per unique connected
-determinant — reference use_unique), and the Pallas fused ansatz
-forward for the ψ(m)/ψ(n) ratio evaluations.  The metric is ⟨n|H|m⟩
+with the semi-stochastic REDUCE local energy (k_det=256 / n_stoch=64,
+the VMCConfig production default — see the rebalance note below) —
+fused Slater–Condon comb+Hij kernel with spin-sector Hpair doubles,
+segmax top-k screen + packed-sign single-gather selection, stratified
+CDF tail draws, and the Pallas fused ansatz forward for the ψ(m)/ψ(n)
+ratio evaluations.  The metric is ⟨n|H|m⟩
 matrix elements produced-and-consumed per second per chip:
 B × (1 + n_sd) / step-time.
 
@@ -35,7 +35,14 @@ from functools import partial
 import numpy as np
 
 A100_HIJ_TERMS_PER_S = 1.0e8
-K_DET, N_STOCH, B = 512, 128, 2048
+# round-4 rebalance (VERDICT r3 #3): the VMCConfig production default
+# (k_det=256, n_stoch=64) replaces the flagship-training override
+# (512/128).  Validated on-chip (scripts/kdet_rebalance_check.py,
+# docs/PERF.md round-4): estimator bias zero within MC error at both
+# configs; (256,64) doubles the per-sample tail RMS (0.34 -> 0.69 Ha)
+# for half the psi forwards (48.9 -> 29.7 ms/step).  Flagship training
+# keeps (512,128) where gradient SNR per step matters more than rate.
+K_DET, N_STOCH, B = 256, 64, 2048
 
 
 def rand_dets(rng, n, sorb, noa, nob):
@@ -118,16 +125,22 @@ def main():
             return compact_by_count(bits, counts, B)[0]
 
         batches = [draw(jax.random.PRNGKey(100 + i)) for i in range(8)]
-        # size the dedup capacity from the measured unique count (+30%)
-        n_u = int(
-            np.asarray(
-                reduce_unique_count(
-                    batches[0], ops, table, jax.random.PRNGKey(9),
-                    k_det=K_DET, n_stoch=N_STOCH, hpair=hpair,
-                )
-            )[0]
-        )
-        dedup = min(int(n_u * 1.3), B * (1 + K_DET + N_STOCH))
+        # Forward dedup measured OFF at dcut=48 (round-4 profile: the
+        # 1.3M-row key sorts + unsort gather cost more than the ~31%-
+        # unique forward saves — 3.15e8 with dedup vs 3.30e8 without at
+        # k=512/128).  BENCH_DEDUP=1 re-enables (sized from the
+        # measured unique count +30%) for A/B and for dcut >= 96.
+        dedup = None
+        if os.environ.get("BENCH_DEDUP") == "1":
+            n_u = int(
+                np.asarray(
+                    reduce_unique_count(
+                        batches[0], ops, table, jax.random.PRNGKey(9),
+                        k_det=K_DET, n_stoch=N_STOCH, hpair=hpair,
+                    )
+                )[0]
+            )
+            dedup = min(int(n_u * 1.3), B * (1 + K_DET + N_STOCH))
     else:
         batches = [
             jnp.asarray(rand_dets(rng, B, sys_.sorb, sys_.noa, sys_.nob))

@@ -62,7 +62,15 @@ def main():
     sys_, model, params = load_fe2s2(args.dcut, args.ckpt)
     t = sys_.tables
     ops = tuple(jnp.asarray(np.asarray(x), jnp.float32) for x in t.astuple())
-    hpair = jnp.asarray(np.asarray(t.hpair), jnp.float32)
+    hpair_dense = jnp.asarray(np.asarray(t.hpair), jnp.float32)
+    # round-4 default: spin-sector blocks (~5.8x fewer doubles FLOPs)
+    hpair = (
+        hpair_dense
+        if t.hpair_best is None
+        else jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float32), t.hpair_best
+        )
+    )
     table = sys_.excitation
 
     from pynqs_tpu.sampler.ar import ar_sampling_dfs, compact_by_count
@@ -103,24 +111,24 @@ def main():
 
     from pynqs_tpu.ops.hamiltonian import comb_hij
 
-    def hij_fn(pair_select):
+    def hij_fn(hp, pair_select="auto"):
         @jax.jit
         def hij_only(bits):
             _, hij = comb_hij(
-                bits, *ops, hpair, table=table, with_comb=False,
+                bits, *ops, hp, table=table, with_comb=False,
                 pair_select=pair_select,
             )
             return hij
         return hij_only
 
-    for ps in ("xla", "pallas"):
-        dt = timed(hij_fn(ps), [(b,) for b in batches])
-        print(f"hij   comb_hij {ps:6s}      {dt * 1e3:8.2f} ms")
+    for name, hp in (("sector", hpair), ("dense ", hpair_dense)):
+        dt = timed(hij_fn(hp), [(b,) for b in batches])
+        print(f"hij   comb_hij {name}      {dt * 1e3:8.2f} ms")
 
-    # on-chip parity of the two pair-select paths
-    a = np.asarray(hij_fn("pallas")(batches[0]), np.float64)
-    b_ = np.asarray(hij_fn("xla")(batches[0]), np.float64)
-    print(f"      pallas-vs-xla max|dH| {np.abs(a - b_).max():.3e}")
+    # on-chip parity of the two doubles operands
+    a = np.asarray(hij_fn(hpair)(batches[0]), np.float64)
+    b_ = np.asarray(hij_fn(hpair_dense)(batches[0]), np.float64)
+    print(f"      sector-vs-dense max|dH| {np.abs(a - b_).max():.3e}")
 
     dt = timed(step_fn(512, 128, use_fwd=False), pairs)
     print(f"selm  null-forward step    {dt * 1e3:8.2f} ms")
@@ -138,14 +146,9 @@ def main():
     dt = timed(jax.jit(fwd), [(fb,) for fb in fbatches])
     print(f"fwd   fused fwd {rows} rows  {dt * 1e3:8.2f} ms")
 
-    for kd, ns, ps in (
-        (512, 128, "pallas"),
-        (384, 96, "auto"),
-        (256, 64, "xla"),
-        (256, 64, "pallas"),
-    ):
-        dt = timed(step_fn(kd, ns, pair_select=ps), pairs)
-        print(f"step  k={kd}/n={ns} ps={ps:6s}  {dt * 1e3:8.2f} ms   "
+    for kd, ns in ((384, 96), (256, 64), (128, 32)):
+        dt = timed(step_fn(kd, ns), pairs)
+        print(f"step  k={kd}/n={ns}            {dt * 1e3:8.2f} ms   "
               f"{B * (1 + table.n_sd) / dt:.3e} terms/s")
 
 
