@@ -230,6 +230,7 @@ def ci_polish(
     key,
     *,
     fwd=None,
+    sample_counts=None,
     ci_chunk: int = 128,
     eloc_batch: int = 1024,
     k_det: int = 1024,
@@ -330,7 +331,17 @@ def ci_polish(
     sample_bits = jnp.asarray(sample_bits, jnp.int8)
     lp_s = fwd(sample_bits)
     _, member_s = lut_mod.lut_search(d_sorted, onv_ops.pack_bits(sample_bits))
-    logw = jnp.where(member_s, -jnp.inf, 2.0 * lp_s[..., 0])
+    # rows that contribute to the complement estimator: live capture
+    # slots (dead capacity padding carries garbage amplitudes) that are
+    # NOT in D.  D rows MUST be zero-weighted *before* touching eloc:
+    # masked_fwd floors their log-amp by -690, which underflows to an
+    # exact f32 zero -> the eloc ψ-ratio is inf there and 0*inf = NaN
+    # (the round-4 production NaN; the x64 CPU tests kept e^-690 finite
+    # and never saw it).
+    keep = ~member_s
+    if sample_counts is not None:
+        keep = keep & (jnp.asarray(sample_counts) > 0)
+    logw = jnp.where(keep, 2.0 * lp_s[..., 0], -jnp.inf)
     logw = logw - jnp.max(logw)
     w = jnp.exp(logw.astype(jnp.float64))
     w_live = w.sum()
@@ -340,12 +351,13 @@ def ci_polish(
         k_det=min(k_det, table.n_sd), n_stoch=n_stoch, batch=eloc_batch,
         hpair=hpair, topk="segmax",
     )
-    h_nn = (w * eloc[:, 0].astype(jnp.float64)).sum()
+    el64 = jnp.where(keep, eloc[:, 0].astype(jnp.float64), 0.0)
+    h_nn = (w * el64).sum()
 
     # captured-complement coverage diagnostic (exact AR normalization):
     # Σ_{S\D}|φ|² vs the closed-form ‖φ'‖²
     p_cov = (
-        jnp.where(member_s, 0.0, jnp.exp(2.0 * lp_s[..., 0].astype(jnp.float64))).sum()
+        jnp.where(keep, jnp.exp(2.0 * lp_s[..., 0].astype(jnp.float64)), 0.0).sum()
         / norm2_c
     )
 

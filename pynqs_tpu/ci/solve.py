@@ -78,7 +78,7 @@ def davidson(
         rnorm = np.linalg.norm(r)
         conv = abs(theta_new - theta) < tol and rnorm < max(tol * 100, 1e-6)
         theta = theta_new
-        if conv:
+        if conv or V.shape[1] >= dim:  # full subspace -> T eigh is exact
             return theta, x
         # diagonal preconditioner; guard near-zero denominators
         denom = diag - theta
@@ -134,6 +134,12 @@ def solve_ci(
                 hij_dense(bits_d[s : s + chunk], bits_d, *ops), np.float64
             )
         H = 0.5 * (H + H.T)  # symmetrize f32 Slater–Condon roundoff
+        if m <= 1024:  # dense eigh beats Davidson outright at this size
+            w, v = np.linalg.eigh(H)
+            c = v[:, 0]
+            if c[np.argmax(np.abs(c))] < 0:
+                c = -c
+            return float(w[0] + ecore), CIWavefunction(coeffs=c, bits=space_bits)
 
         def matvec(v):
             return H @ v

@@ -96,15 +96,16 @@ def main():
         batch=args.eloc_batch, hpair=hpair, topk="segmax",
     )
     w = p / p.sum()
-    e_vmc = float((w * np.asarray(el[:, 0], np.float64)).sum()) + sys_.ecore
+    el64 = np.where(live, np.asarray(el[:, 0], np.float64), 0.0)
+    e_vmc = float((w * el64).sum()) + sys_.ecore
     print(f"E_VMC (exact weights, same set) = {e_vmc:.6f} Ha "
           f"({(e_vmc - sys_.e_ref) * 1000:+.3f} mHa)", flush=True)
 
     t0 = time.time()
     e, c, info = ci_polish(
         model, params, sys_, d_bits, bits, jax.random.PRNGKey(31),
-        fwd=fwd, ci_chunk=args.ci_chunk, eloc_batch=args.eloc_batch,
-        k_det=args.k_det, n_stoch=args.n_stoch,
+        fwd=fwd, sample_counts=counts, ci_chunk=args.ci_chunk,
+        eloc_batch=args.eloc_batch, k_det=args.k_det, n_stoch=args.n_stoch,
     )
     e_tot = e + sys_.ecore
     print(f"ci_polish: t={time.time()-t0:.0f}s  info={info}")

@@ -145,3 +145,62 @@ def test_nqs_ci_grad_strategies_compare():
     assert abs(finals[0] - finals[1]) < 0.25, finals
     # the decoupled strategy must not be better beyond noise
     assert finals[2] > min(finals[0], finals[1]) - 5e-3, finals
+
+
+def test_ci_polish_f32_dead_slots_and_members_finite():
+    """Round-4 production NaN regression: an f32 model whose masked
+    forward underflows to exact zero on D rows (exp(la-690) == 0 in
+    f32 -> inf eloc ratios) plus dead capacity padding in the capture.
+    ci_polish must zero-weight both BEFORE touching eloc and return a
+    finite, variational energy; dead rows must not shift the answer."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pynqs_tpu.ci.nqs_ci import ci_polish
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.ops.hamiltonian import hij_dense
+    from pynqs_tpu.ops.integrals import triangle_size
+    from pynqs_tpu.utils import System, fci
+
+    rng = np.random.default_rng(3)
+    sorb, noa, nob = 8, 2, 2
+    h1e = rng.standard_normal((sorb, sorb)) * 0.3
+    h1e = (h1e + h1e.T) / 2
+    h2e = rng.standard_normal(triangle_size(sorb)) * 0.1
+    sys = System.from_integrals(h1e, h2e, sorb, noa, nob, dtype=np.float32)
+    model = GraphMPSRNN(sorb, noa, nob, dcut=6, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(4))
+
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    lp = np.asarray(model.log_psi(params, space))
+    assert lp.dtype == np.float32
+    psi2 = np.exp(2.0 * lp[:, 0].astype(np.float64))
+    d_idx = np.sort(np.argsort(-psi2)[:6])
+    d_bits = space[jnp.asarray(d_idx)]
+
+    # capture = full space + dead all-zero padding rows (counts == 0)
+    pad = jnp.zeros((8, sorb), jnp.int8)
+    capture = jnp.concatenate([space, pad])
+    counts = np.concatenate([np.ones(space.shape[0]), np.zeros(8)])
+
+    e, c, info = ci_polish(
+        model, params, sys, d_bits, capture, jax.random.PRNGKey(7),
+        sample_counts=counts, k_det=sys.excitation.n_sd, n_stoch=4,
+        ci_chunk=4,
+    )
+    assert np.isfinite(e) and np.isfinite(info["h_nn"])
+
+    e_ref, _, info_ref = ci_polish(
+        model, params, sys, d_bits, space, jax.random.PRNGKey(7),
+        k_det=sys.excitation.n_sd, n_stoch=4, ci_chunk=4,
+    )
+    assert abs(e - e_ref) < 5e-6, (e, e_ref)
+
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    H = np.asarray(hij_dense(space, space, *ops), np.float64)
+    psi = np.exp(lp[:, 0].astype(np.float64)) * np.exp(1j * lp[:, 1])
+    psi /= np.linalg.norm(psi)
+    e_vmc = float(np.real(np.vdot(psi, H @ psi)))
+    e_fci = np.linalg.eigvalsh(H)[0]
+    assert e_fci - 1e-5 <= e <= e_vmc + 1e-5, (e_fci, e, e_vmc)
