@@ -235,6 +235,7 @@ def ci_polish(
     eloc_batch: int = 1024,
     k_det: int = 1024,
     n_stoch: int = 256,
+    restrict: str = "complement",
 ):
     """One-shot CI-NQS energy polish at production scale.
 
@@ -260,6 +261,14 @@ def ci_polish(
         members (they are masked off the complement estimator).
       fwd: gradient-free forward ``bits -> [N, 2]`` (defaults to
         model.log_psi; pass the fused forward on TPU).
+      restrict: "complement" keeps the exact closed-form H_cn over the
+        FULL complement φ' and estimates H_nn over the capture — the
+        eigenvalue is only variational when the capture covers the
+        complement (coverage is reported).  "capture" replaces the
+        complement by φ'' = φ restricted to (capture \\ D): every
+        entry is then an exact finite sum (k_det is forced to n_sd),
+        so the eigenvalue is a TRUE variational upper bound regardless
+        of coverage — the production-safe mode.
 
     Returns (e_elec, c, info): electronic energy (add system.ecore),
       the (m+1) eigenvector, and a dict of diagnostics.
@@ -282,7 +291,46 @@ def ci_polish(
 
     lp_d = fwd(d_bits)  # [m, 2]
     p_d = jnp.exp(2.0 * lp_d[..., 0].astype(jnp.float64))
-    norm2_c = jnp.maximum(1.0 - p_d.sum(), 1e-30)
+
+    # ---- captured sample set: forwards + masks (used by H_nn, and in
+    # restrict="capture" mode by every coupling) ----
+    sample_bits = jnp.asarray(sample_bits, jnp.int8)
+    lp_s = fwd(sample_bits)
+    s_packed = onv_ops.pack_bits(sample_bits)
+    _, member_s = lut_mod.lut_search(d_sorted, s_packed)
+    # rows that contribute to the complement estimator: live capture
+    # slots (dead capacity padding carries garbage amplitudes) that are
+    # NOT in D.  D rows MUST be zero-weighted *before* touching eloc:
+    # masked_fwd floors their log-amp by -690, which underflows to an
+    # exact f32 zero -> the eloc ψ-ratio is inf there and 0*inf = NaN
+    # (the round-4 production NaN; the x64 CPU tests kept e^-690 finite
+    # and never saw it).
+    keep = ~member_s
+    if sample_counts is not None:
+        keep = keep & (jnp.asarray(sample_counts) > 0)
+    p_s64 = jnp.exp(2.0 * lp_s[..., 0].astype(jnp.float64))
+
+    if restrict == "capture":
+        # φ'' = φ restricted to (capture \ D): EVERY matrix entry below
+        # is then an exact finite sum over the captured set, so the
+        # (m+1)-eigenvalue is a true variational upper bound (no H_nn
+        # coverage bias — the round-4 production run's exact-H_cn /
+        # 82%-covered-H_nn mix read ABOVE E_VMC).  Exactness of H_nn
+        # requires the deterministic eloc, so the full connected space
+        # is enumerated (k_det = n_sd).
+        keep_np = np.asarray(keep)
+        cap_sorted, _ = lut_mod.sort_onv(
+            jnp.asarray(np.asarray(s_packed)[keep_np]),
+            jnp.zeros((int(keep_np.sum()),)),
+        )
+        norm2_c = jnp.maximum(jnp.where(keep, p_s64, 0.0).sum(), 1e-30)
+        k_det = table.n_sd
+    elif restrict == "complement":
+        cap_sorted = None
+        # exact AR normalization: ‖φ'‖² = 1 − Σ_D |φ(d)|²
+        norm2_c = jnp.maximum(1.0 - p_d.sum(), 1e-30)
+    else:
+        raise ValueError(f"restrict must be 'complement' or 'capture': {restrict}")
     norm_c = jnp.sqrt(norm2_c)
 
     # ---- H_cc (dense CI block), row-chunked ----
@@ -302,8 +350,13 @@ def ci_polish(
     def hcn_chunk(rows):
         comb, hij_ci = comb_hij(rows, *ops, hpair, table=table, with_comb=True)
         flat = comb.reshape(-1, comb.shape[-1])
-        _, in_d = lut_mod.lut_search(d_sorted, onv_ops.pack_bits(flat))
-        hij_masked = jnp.where(in_d.reshape(hij_ci.shape), 0.0, hij_ci)
+        fpk = onv_ops.pack_bits(flat)
+        _, in_d = lut_mod.lut_search(d_sorted, fpk)
+        dead = in_d
+        if cap_sorted is not None:  # φ'' support: captured \ D only
+            _, in_cap = lut_mod.lut_search(cap_sorted, fpk)
+            dead = in_d | ~in_cap
+        hij_masked = jnp.where(dead.reshape(hij_ci.shape), 0.0, hij_ci)
         lp_c = fwd(flat).reshape(comb.shape[:2] + (2,))
         from pynqs_tpu.ops import cplx
 
@@ -321,26 +374,20 @@ def ci_polish(
     h_cn_re = jnp.concatenate(h_cn_re).astype(jnp.float64) / norm_c
     h_cn_im = jnp.concatenate(h_cn_im).astype(jnp.float64) / norm_c
 
-    # ---- H_nn: exact-weight estimator over the captured off-D set ----
+    # ---- H_nn: exact-weight estimator over the captured off-D set
+    # (restrict="capture": exact deterministic sum — k_det = n_sd and
+    # the forward zeroes everything outside capture \ D) ----
     def masked_fwd(bits):
         lp = fwd(bits)
-        _, member = lut_mod.lut_search(d_sorted, onv_ops.pack_bits(bits))
-        la = jnp.where(member, lp[..., 0] - 690.0, lp[..., 0])
+        bpk = onv_ops.pack_bits(bits)
+        _, member = lut_mod.lut_search(d_sorted, bpk)
+        dead = member
+        if cap_sorted is not None:
+            _, in_cap = lut_mod.lut_search(cap_sorted, bpk)
+            dead = member | ~in_cap
+        la = jnp.where(dead, lp[..., 0] - 690.0, lp[..., 0])
         return jnp.stack([la, lp[..., 1]], -1)
 
-    sample_bits = jnp.asarray(sample_bits, jnp.int8)
-    lp_s = fwd(sample_bits)
-    _, member_s = lut_mod.lut_search(d_sorted, onv_ops.pack_bits(sample_bits))
-    # rows that contribute to the complement estimator: live capture
-    # slots (dead capacity padding carries garbage amplitudes) that are
-    # NOT in D.  D rows MUST be zero-weighted *before* touching eloc:
-    # masked_fwd floors their log-amp by -690, which underflows to an
-    # exact f32 zero -> the eloc ψ-ratio is inf there and 0*inf = NaN
-    # (the round-4 production NaN; the x64 CPU tests kept e^-690 finite
-    # and never saw it).
-    keep = ~member_s
-    if sample_counts is not None:
-        keep = keep & (jnp.asarray(sample_counts) > 0)
     logw = jnp.where(keep, 2.0 * lp_s[..., 0], -jnp.inf)
     logw = logw - jnp.max(logw)
     w = jnp.exp(logw.astype(jnp.float64))
@@ -354,11 +401,12 @@ def ci_polish(
     el64 = jnp.where(keep, eloc[:, 0].astype(jnp.float64), 0.0)
     h_nn = (w * el64).sum()
 
-    # captured-complement coverage diagnostic (exact AR normalization):
-    # Σ_{S\D}|φ|² vs the closed-form ‖φ'‖²
+    # captured-complement coverage diagnostic: Σ_{capture\D}|φ|² vs the
+    # closed-form ‖φ'‖² = 1 − Σ_D |φ(d)|² (== 1 in capture mode, where
+    # the basis vector is DEFINED on the captured support)
     p_cov = (
-        jnp.where(keep, jnp.exp(2.0 * lp_s[..., 0].astype(jnp.float64)), 0.0).sum()
-        / norm2_c
+        jnp.where(keep, p_s64, 0.0).sum()
+        / jnp.maximum(1.0 - p_d.sum(), 1e-30)
     )
 
     # ---- assemble + eigensolve.  Phases: |d_i⟩ couplings are complex
@@ -378,6 +426,7 @@ def ci_polish(
     e = float(evals[0])
     c = evecs[:, 0]
     info = {
+        "restrict": restrict,
         "h_nn": float(h_nn),
         "norm2_complement": float(norm2_c),
         "captured_complement_fraction": float(p_cov),

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--eloc-batch", type=int, default=1024)
     ap.add_argument("--use-tensor", action="store_true")
     ap.add_argument("--max-preds", type=int, default=1)
+    ap.add_argument("--restrict", default="capture",
+                    choices=["capture", "complement"],
+                    help="'capture' = exact truncated-basis variational "
+                         "bound (default); 'complement' = exact H_cn + "
+                         "estimated H_nn (coverage-biased)")
     args = ap.parse_args()
 
     from pynqs_tpu.utils.jaxcache import enable_compilation_cache
@@ -106,6 +111,7 @@ def main():
         model, params, sys_, d_bits, bits, jax.random.PRNGKey(31),
         fwd=fwd, sample_counts=counts, ci_chunk=args.ci_chunk,
         eloc_batch=args.eloc_batch, k_det=args.k_det, n_stoch=args.n_stoch,
+        restrict=args.restrict,
     )
     e_tot = e + sys_.ecore
     print(f"ci_polish: t={time.time()-t0:.0f}s  info={info}")

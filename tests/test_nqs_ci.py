@@ -204,3 +204,65 @@ def test_ci_polish_f32_dead_slots_and_members_finite():
     e_vmc = float(np.real(np.vdot(psi, H @ psi)))
     e_fci = np.linalg.eigvalsh(H)[0]
     assert e_fci - 1e-5 <= e <= e_vmc + 1e-5, (e_fci, e, e_vmc)
+
+
+def test_ci_polish_capture_mode_exact_truncated_projection():
+    """restrict='capture': with a PARTIAL capture the eigenvalue must
+    equal the brute-force projection of H onto span{|d_i>, phi''}
+    where phi'' is phi zeroed outside (capture \\ D) — an exact
+    variational upper bound independent of complement coverage
+    (the 'complement' mode is only exact at full coverage)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pynqs_tpu.ci.nqs_ci import ci_polish
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.ops.hamiltonian import hij_dense
+    from pynqs_tpu.ops.integrals import triangle_size
+    from pynqs_tpu.utils import System, fci
+
+    rng = np.random.default_rng(11)
+    sorb, noa, nob = 8, 2, 2
+    h1e = rng.standard_normal((sorb, sorb)) * 0.3
+    h1e = (h1e + h1e.T) / 2
+    h2e = rng.standard_normal(triangle_size(sorb)) * 0.1
+    sys = System.from_integrals(h1e, h2e, sorb, noa, nob, dtype=np.float64)
+    model = GraphMPSRNN(sorb, noa, nob, dcut=6)
+    params = model.init(jax.random.PRNGKey(6))
+
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    n = space.shape[0]
+    ops = tuple(jnp.asarray(np.asarray(x)) for x in sys.tables.astuple())
+    H = np.asarray(hij_dense(space, space, *ops), np.float64)
+    e_fci = np.linalg.eigvalsh(H)[0]
+
+    lp = np.asarray(model.log_psi(params, space))
+    psi = np.exp(lp[:, 0]) * np.exp(1j * lp[:, 1])
+    d_idx = np.sort(np.argsort(-np.abs(psi))[:5])
+    d_bits = space[jnp.asarray(d_idx)]
+
+    # capture = D plus roughly half of the rest (a genuinely partial set)
+    rest = np.setdiff1d(np.arange(n), d_idx)
+    cap_idx = np.sort(np.concatenate([d_idx, rest[::2]]))
+    capture = space[jnp.asarray(cap_idx)]
+
+    e, c, info = ci_polish(
+        model, params, sys, d_bits, capture, jax.random.PRNGKey(8),
+        k_det=sys.excitation.n_sd, n_stoch=4, ci_chunk=4,
+        restrict="capture",
+    )
+
+    # brute-force basis: d_i columns + phi zeroed outside capture \ D
+    B = np.zeros((n, 6), complex)
+    for j, i in enumerate(d_idx):
+        B[i, j] = 1.0
+    phi_c = np.zeros(n, complex)
+    keep_idx = np.setdiff1d(cap_idx, d_idx)
+    phi_c[keep_idx] = psi[keep_idx]
+    B[:, 5] = phi_c / np.linalg.norm(phi_c)
+    e_ref = np.linalg.eigvalsh(B.conj().T @ H @ B)[0]
+
+    assert abs(e - e_ref) < 1e-8, (e, e_ref)
+    assert e >= e_fci - 1e-9
+    assert abs(info["captured_complement_fraction"] - 1.0) > 1e-3  # partial
