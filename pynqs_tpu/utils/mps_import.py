@@ -30,25 +30,58 @@ __all__ = [
 ]
 
 
-def grow_dcut(params: dict, model_old, model_new) -> dict:
-    """Zero-pad Graph-MPS-RNN parameters from a smaller dcut to a
-    larger one (reference dcut-growing pad, graph_mpsrnn.py:483-527):
+def grow_dcut(params: dict, model_old, model_new, *, exact: bool = True,
+              fresh_scale: float = 1e-3, key=None) -> dict:
+    """Pad Graph-MPS-RNN parameters from a smaller dcut to a larger
+    one (reference dcut-growing pad, graph_mpsrnn.py:483-527):
     warm-starts a higher-bond-dimension run from a converged smaller
-    one."""
+    one.
+
+    With ``exact=True`` (default) and ``norm_mode="mpsrnn"`` the grow
+    is wavefunction-preserving up to O(fresh_scale²): the mpsrnn gauge
+    divides by the RMS over (4, dcut), so zero-padding scales every
+    site's post-gauge hidden by γ = sqrt(d_new/d_old); compensating
+    everything that *reads* a hidden (M, U, w_arg/w_ph) by 1/γ makes
+    the represented state exact.  The padded entries additionally get
+    ``fresh_scale`` × a fresh init so they are not an exact saddle
+    (grad of an exactly-zero block through |h|² readouts is zero) —
+    EXCEPT the phase-readout tensors (w_arg/w_ph/c_*), whose padding
+    stays exactly zero: trained states hold z_t ≡ 0 at most sites (all
+    phase on the terminal site), and noise there turns atan2(0, 0)
+    into a random per-determinant angle — a catastrophic, noise-scale-
+    independent phase scrambling of the warm start.
+    """
     import jax
 
     d0, d1 = model_old.dcut, model_new.dcut
     if d1 < d0:
         raise ValueError("grow_dcut only grows")
-    out = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), model_new.init(__import__("jax").random.PRNGKey(0)))
-    for k, v in params.items():
+    if key is None:
+        key = jax.random.PRNGKey(11)
+    init = model_new.init(key)
+    gamma = float(np.sqrt(d1 / d0))
+    # params whose contraction includes a (gauge-normalized) hidden:
+    # compensate the old block by 1/γ under the mpsrnn mean-gauge
+    reads_hidden = ("M_re", "M_im", "U_re", "U_im",
+                    "w_arg_re", "w_arg_im", "w_ph")
+    # phase readouts: padded region must stay exactly 0 (see docstring)
+    phase_keys = ("w_arg_re", "w_arg_im", "w_ph",
+                  "c_arg_re", "c_arg_im", "c_ph")
+    compensate = exact and getattr(model_new, "norm_mode", None) == "mpsrnn"
+    out = {}
+    for k, v in init.items():
         v = np.asarray(v)
-        tgt = np.asarray(out[k]).copy()
-        if v.shape == tgt.shape:
-            tgt = v
-        else:
-            sl = tuple(slice(0, s) for s in v.shape)
-            tgt[sl] = v
+        fs = 0.0 if k in phase_keys else fresh_scale
+        if k not in params:
+            out[k] = jnp.asarray(v * fs, model_new.dtype)
+            continue
+        pv = np.asarray(params[k])
+        if pv.shape == v.shape:
+            out[k] = jnp.asarray(pv, model_new.dtype)
+            continue
+        tgt = v * fs
+        sl = tuple(slice(0, s) for s in pv.shape)
+        tgt[sl] = pv / gamma if (compensate and k in reads_hidden) else pv
         out[k] = jnp.asarray(tgt, model_new.dtype)
     return out
 

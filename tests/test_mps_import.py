@@ -404,3 +404,66 @@ def test_renormalizer_import_matches_converted_path(tmp_path):
             np.asarray(p_conv[k]), np.asarray(p_raw[k]), rtol=1e-12,
             atol=1e-14, err_msg=k,
         )
+
+
+def test_grow_dcut_exact_preserves_wavefunction():
+    """dcut growth under the mpsrnn mean-gauge: zero-padding scales the
+    post-gauge hidden by sqrt(d_new/d_old) at every site, so the naive
+    pad changes the state; grow_dcut's 1/γ compensation of M/U/w_arg
+    (round-5) makes the grow exactly wavefunction-preserving, and the
+    phase-readout padding stays exactly zero so per-site z ≡ 0 gauge
+    states don't pick up random atan2 angles."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pynqs_tpu.models.graph_mps_rnn import GraphMPSRNN
+    from pynqs_tpu.utils import fci
+    from pynqs_tpu.utils.graph import dag_from_order
+    from pynqs_tpu.utils.mps_import import grow_dcut
+
+    sorb, noa, nob = 8, 2, 2
+    rng = np.random.default_rng(0)
+    Kx = np.abs(rng.standard_normal((sorb // 2, sorb // 2)))
+    Kx = (Kx + Kx.T) / 2
+    graph = dag_from_order(list(range(sorb // 2)), Kx, max_preds=2)
+
+    def make(d):
+        return GraphMPSRNN(sorb, noa, nob, dcut=d, graph=graph,
+                           use_tensor=True, norm_mode="mpsrnn",
+                           phase_mode="arg")
+
+    small, big = make(5), make(9)
+    p = small.init(jax.random.PRNGKey(2))
+    p = jax.tree.map(lambda x: x + 0.07 * jnp.ones_like(x), p)
+    # emulate a trained state with all phase on the terminal site
+    # (the Fe2S2 flagship checkpoints hold z_t = 0 exactly for t < last)
+    for k in ("w_arg_re", "w_arg_im", "c_arg_re", "c_arg_im"):
+        v = np.asarray(p[k]).copy()
+        v[:-1] = 0.0
+        p[k] = jnp.asarray(v)
+    space = jnp.asarray(fci.fci_bits(sorb, noa, nob))
+    lp_ref = np.asarray(small.log_psi(p, space))
+
+    p_g = grow_dcut({k: np.asarray(v) for k, v in p.items()}, small, big,
+                    fresh_scale=0.0)
+    lp_g = np.asarray(big.log_psi(p_g, space))
+    np.testing.assert_allclose(lp_g[:, 0], lp_ref[:, 0], atol=1e-5)
+    dphi = (lp_g[:, 1] - lp_ref[:, 1] + np.pi) % (2 * np.pi) - np.pi
+    np.testing.assert_allclose(dphi, 0.0, atol=1e-5)
+
+    # with symmetry-breaking noise the state stays close INCLUDING the
+    # phase (the regression: noise in the phase-readout pad scrambled
+    # arg by O(π) per determinant, independent of the noise scale)
+    p_n = grow_dcut({k: np.asarray(v) for k, v in p.items()}, small, big,
+                    fresh_scale=1e-3)
+    lp_n = np.asarray(big.log_psi(p_n, space))
+    assert np.abs(lp_n[:, 0] - lp_ref[:, 0]).max() < 1e-2
+    dphi = (lp_n[:, 1] - lp_ref[:, 1] + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(dphi).max() < 1e-2
+
+    # naive (uncompensated) pad demonstrably changes the state
+    p_naive = grow_dcut({k: np.asarray(v) for k, v in p.items()}, small,
+                        big, exact=False, fresh_scale=0.0)
+    lp_naive = np.asarray(big.log_psi(p_naive, space))
+    assert np.abs(lp_naive[:, 0] - lp_ref[:, 0]).max() > 1e-3
