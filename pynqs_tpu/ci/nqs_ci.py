@@ -308,6 +308,24 @@ def ci_polish(
     keep = ~member_s
     if sample_counts is not None:
         keep = keep & (jnp.asarray(sample_counts) > 0)
+    # duplicate captured rows would double-count norm2_c and the H_nn
+    # weights while the cap_sorted LUT counts each determinant once in
+    # H_cn — keep only the first occurrence of each packed row (DFS
+    # captures are unique already; this guards other capture sources)
+    s_np = np.ascontiguousarray(np.asarray(s_packed))
+    s_keys = s_np.view(
+        np.dtype((np.void, s_np.dtype.itemsize * s_np.shape[1]))
+    ).ravel()
+    _, first_idx = np.unique(s_keys, return_index=True)
+    first_mask = np.zeros(s_keys.shape[0], bool)
+    first_mask[first_idx] = True
+    keep = keep & jnp.asarray(first_mask)
+    if int(np.asarray(keep).sum()) == 0:
+        raise ValueError(
+            "nqs_ci: no usable captured rows — every sample_bits row is "
+            "a D member, a duplicate, or a dead (zero-count) capacity "
+            "slot; enlarge the capture or shrink the CI space"
+        )
     p_s64 = jnp.exp(2.0 * lp_s[..., 0].astype(jnp.float64))
 
     if restrict == "capture":
@@ -402,8 +420,10 @@ def ci_polish(
     h_nn = (w * el64).sum()
 
     # captured-complement coverage diagnostic: Σ_{capture\D}|φ|² vs the
-    # closed-form ‖φ'‖² = 1 − Σ_D |φ(d)|² (== 1 in capture mode, where
-    # the basis vector is DEFINED on the captured support)
+    # closed-form ‖φ'‖² = 1 − Σ_D |φ(d)|².  NOTE: in BOTH modes this
+    # reports coverage of the FULL complement (< 1 for partial
+    # captures) — capture mode redefines the basis vector on the
+    # captured support but keeps reporting how much of φ' it spans
     p_cov = (
         jnp.where(keep, p_s64, 0.0).sum()
         / jnp.maximum(1.0 - p_d.sum(), 1e-30)

@@ -53,14 +53,27 @@ def _pack_np(bits: np.ndarray) -> np.ndarray:
 def _screened_connected(bits, coeffs, ops, hpair, table, eps, chunk):
     """All (connected det, |H_ai c_i|, H_ai c_i) triples above the
     screen, concatenated over parent chunks.  Returns host arrays
-    (bits [K, sorb] int8, importance [K] f64, signed term [K] f64)."""
+    (bits [K, sorb] int8, importance [K] f64, signed term [K] f64).
+
+    The ragged last chunk is padded to the fixed ``chunk`` shape (parent
+    rows repeat, padded coefficients are zero so every padded term falls
+    below the strict ``> eps`` screen) — one traced shape per call site
+    instead of a retrace every selection round."""
     out_bits, out_imp, out_num = [], [], []
-    for s in range(0, bits.shape[0], chunk):
-        b = jnp.asarray(bits[s : s + chunk], jnp.int8)
-        comb, hij = comb_hij(b, *ops, hpair, table=table, with_comb=True)
+    n = bits.shape[0]
+    for s in range(0, n, chunk):
+        b_np = np.asarray(bits[s : s + chunk], np.int8)
+        c_np = np.asarray(coeffs[s : s + chunk], np.float64)
+        if b_np.shape[0] < chunk:  # pad: repeated parent, zero coeff
+            pad = chunk - b_np.shape[0]
+            b_np = np.concatenate([b_np, np.repeat(b_np[-1:], pad, 0)])
+            c_np = np.concatenate([c_np, np.zeros(pad)])
+        comb, hij = comb_hij(
+            jnp.asarray(b_np), *ops, hpair, table=table, with_comb=True
+        )
         hij = np.asarray(hij, np.float64)[:, 1:]  # drop the diagonal row
         comb = np.asarray(comb, np.int8)[:, 1:, :]
-        term = hij * coeffs[s : s + chunk, None]
+        term = hij * c_np[:, None]
         imp = np.abs(term)
         mask = imp > eps
         if mask.any():
@@ -186,6 +199,7 @@ def en_pt2(
     ops=None,
     hpair=None,
     table=None,
+    denom_floor: float = 1e-6,
 ) -> float:
     """Deterministic Epstein-Nesbet PT2 over the discarded space.
 
@@ -196,7 +210,10 @@ def en_pt2(
     reference is good (E_var below every external diagonal); a poor
     reference (very loose eps1) can make individual denominators — and
     the total — positive, which is standard EN-PT2 behavior, not an
-    error.
+    error.  Intruder states (external determinants nearly degenerate
+    with E_var) are guarded: |E_var − H_aa| is floored at
+    ``denom_floor`` Ha with the sign preserved, as deterministic DICE
+    PT2 does, so a single near-degenerate term cannot blow up the sum.
     """
     if ops is None:
         ops = tuple(jnp.asarray(np.asarray(x)) for x in system.tables.astuple())
@@ -231,5 +248,11 @@ def en_pt2(
             hij_diagonal(jnp.asarray(a_bits[s : s + 4096]), ops[2], ops[3]),
             np.float64,
         )
-        de2 += float(np.sum(num[s : s + 4096] ** 2 / (e_elec - haa)))
+        denom = e_elec - haa
+        denom = np.where(
+            np.abs(denom) < denom_floor,
+            np.where(denom < 0, -denom_floor, denom_floor),
+            denom,
+        )
+        de2 += float(np.sum(num[s : s + 4096] ** 2 / denom))
     return de2
