@@ -61,14 +61,23 @@ class NqsCiConfig:
     # apply the floor only while iteration < start_iter (reference
     # start_iter; -1 = never floor)
     start_iter: int = -1
+    # production-scale memory control (round 5): chunk the H_cn forward
+    # over CI rows (each row's connected block is [1+n_sd] forwards)
+    # and the H_nn local energy over sampled rows.  None = whole batch
+    # (toy scale).
+    ci_chunk: int | None = None
+    eloc_batch: int | None = None
 
 
 class NqsCi:
-    def __init__(self, model, system, ci_bits: np.ndarray, config=None):
+    def __init__(self, model, system, ci_bits: np.ndarray, config=None,
+                 optimizer=None):
         self.model = model
         self.system = system
         self.cfg = config or NqsCiConfig()
-        self.tx = optax.adam(self.cfg.lr)
+        self.tx = optimizer if optimizer is not None else optax.adam(
+            self.cfg.lr
+        )
         ops = system.tables.astuple()
         hpair = system.tables.hpair_best
         table = system.excitation
@@ -135,9 +144,21 @@ class NqsCi:
 
                 lp_d = self.model.log_psi(p, self._d_bits)  # [m, 2]
                 flat_ci = self._ci_comb.reshape(-1, self._ci_comb.shape[-1])
-                lp_c = self.model.log_psi(p, flat_ci).reshape(
-                    self._ci_comb.shape[:2] + (2,)
-                )
+                if cfg.ci_chunk:
+                    n = flat_ci.shape[0]
+                    blk = cfg.ci_chunk
+                    nb = -(-n // blk)
+                    padded = jnp.concatenate(
+                        [flat_ci,
+                         jnp.broadcast_to(flat_ci[:1],
+                                          (nb * blk - n, flat_ci.shape[1]))]
+                    ).reshape(nb, blk, flat_ci.shape[1])
+                    lp_flat = jax.lax.map(
+                        lambda r: self.model.log_psi(p, r), padded
+                    ).reshape(nb * blk, 2)[:n]
+                else:
+                    lp_flat = self.model.log_psi(p, flat_ci)
+                lp_c = lp_flat.reshape(self._ci_comb.shape[:2] + (2,))
                 phi_re, phi_im = cplx.exp_pair(lp_c)
                 norm2 = 1.0 - jnp.exp(2 * lp_d[..., 0]).sum()
                 norm = jnp.sqrt(jnp.maximum(norm2, 1e-30))
@@ -147,7 +168,8 @@ class NqsCi:
 
             # ---- MC piece: H_nn ----
             eloc = local_energy_simple(
-                partial(masked_log_psi, params), bits, ops, table, hpair=hpair
+                partial(masked_log_psi, params), bits, ops, table,
+                hpair=hpair, batch=cfg.eloc_batch,
             )  # [C, 2]
             alive = w > 0
             eloc = jnp.where(alive[:, None], eloc, 0.0)

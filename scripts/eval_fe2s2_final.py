@@ -31,7 +31,12 @@ def main():
     ap.add_argument("--n-group", type=int, default=8)
     ap.add_argument("--split-depth", type=int, default=8)
     ap.add_argument("--capacity", type=int, default=4096)
-    ap.add_argument("--k-det", type=int, default=1024)
+    ap.add_argument("--k-det", type=int, default=1024,
+                    help="0 = EXACT deterministic eloc (k_det = n_sd, "
+                         "no stochastic tail): at sorb=40 the full "
+                         "connected space is ~7.9k dets, so the exact "
+                         "eval is only ~6x the k=1024 cost and removes "
+                         "ALL tail noise — the canonical judged config")
     ap.add_argument("--n-stoch", type=int, default=256)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--n-rep", type=int, default=4,
@@ -131,7 +136,9 @@ def main():
         p = jnp.where(live > 0, jnp.exp(2.0 * (lp - lp_max)), 0.0)
         w_ex = p / p.sum()
         w_ct = counts.astype(jnp.float32) / jnp.maximum(counts.sum(), 1)
-        kw = dict(k_det=args.k_det, n_stoch=args.n_stoch, batch=args.batch)
+        k_det = args.k_det if args.k_det > 0 else sys_.excitation.n_sd
+        n_stoch = args.n_stoch if args.k_det > 0 else 8
+        kw = dict(k_det=k_det, n_stoch=n_stoch, batch=args.batch)
         el = local_energy_reduce(
             fwd, bits, ops, sys_.excitation,
             jax.random.fold_in(key, 1), hpair=hpair, **kw)

@@ -3,8 +3,13 @@
 Reference ladder: VMC -> CI-NQS hybrid (ci_vmc/hybrid.py NqsCi).  Here
 the (m+1)-dim effective Hamiltonian of ψ = Σ c_i|d_i⟩ + c_m|φ̂⟩ is
 assembled ONCE for the trained NQS (exact closed-form couplings, see
-ci/nqs_ci.ci_polish) and diagonalized: variationally ≤ the plain VMC
-energy, no retraining.
+ci/nqs_ci.ci_polish) and diagonalized.  In the default restrict="capture" mode every
+matrix entry is an exact finite sum over the captured set, so the
+eigenvalue is a TRUE variational upper bound — and ≤ the same-basis
+VMC energy by construction.  (restrict="complement" mixes the exact
+closed-form H_cn with a coverage-limited H_nn estimate and is NOT a
+bound: the round-4 production run lost 1.99 mHa that way — see
+docs/PERF.md round-4 negative results.)
 
   python scripts/fe2s2_ci_polish.py checkpoints/fe2s2_r3_dcut48_g48.pkl \
       --dcut 48 --m 2048
@@ -25,12 +30,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt")
     ap.add_argument("--dcut", type=int, default=48)
-    ap.add_argument("--m", type=int, default=2048)
+    ap.add_argument("--m", type=str, default="2048",
+                    help="CI-set size, or a comma list for a sweep "
+                         "(e.g. 2048,4096,8192,16384)")
     ap.add_argument("--n-sample", type=int, default=10_000_000)
     ap.add_argument("--n-group", type=int, default=8)
     ap.add_argument("--split-depth", type=int, default=8)
     ap.add_argument("--capacity", type=int, default=4096)
-    ap.add_argument("--k-det", type=int, default=1024)
+    ap.add_argument("--k-det", type=int, default=0,
+                    help="0 = EXACT deterministic eloc (k_det = n_sd) "
+                         "for the E_VMC comparison — no tail noise, so "
+                         "E_VMC vs E_polish deltas are exact (capture-"
+                         "mode ci_polish always uses k_det = n_sd "
+                         "internally)")
     ap.add_argument("--n-stoch", type=int, default=256)
     ap.add_argument("--ci-chunk", type=int, default=128)
     ap.add_argument("--eloc-batch", type=int, default=1024)
@@ -69,6 +81,7 @@ def main():
     if jax.default_backend() == "cpu":
         fwd = partial(model.log_psi, params)
 
+    m_list = [int(x) for x in args.m.split(",")]
     t0 = time.time()
     bits, counts, dropped = jax.jit(
         lambda k: ar_sampling_dfs(
@@ -82,11 +95,8 @@ def main():
     la = np.asarray(lp_s[:, 0], np.float64)
     p = np.where(live, np.exp(2 * (la - la.max())), 0.0)
     order = np.argsort(-p)
-    d_idx = order[: args.m]
-    d_bits = np.asarray(bits)[d_idx]
     print(f"sampled: {live.sum()} uniques, dropped "
-          f"{float(dropped) / args.n_sample:.3%}, CI set mass "
-          f"{p[d_idx].sum() / p.sum():.4f} of captured, t={time.time()-t0:.0f}s",
+          f"{float(dropped) / args.n_sample:.3%}, t={time.time()-t0:.0f}s",
           flush=True)
 
     # plain VMC energy on the same captured set (exact weights) for the
@@ -95,9 +105,11 @@ def main():
                 for x in sys_.tables.astuple())
     hpair = (None if sys_.tables.hpair is None
              else jnp.asarray(np.asarray(sys_.tables.hpair), jnp.float32))
+    kd = args.k_det if args.k_det > 0 else sys_.excitation.n_sd
+    ns = args.n_stoch if args.k_det > 0 else 8
     el = local_energy_reduce(
         fwd, bits, ops, sys_.excitation, jax.random.PRNGKey(21),
-        k_det=min(args.k_det, sys_.excitation.n_sd), n_stoch=args.n_stoch,
+        k_det=min(kd, sys_.excitation.n_sd), n_stoch=ns,
         batch=args.eloc_batch, hpair=hpair, topk="segmax",
     )
     w = p / p.sum()
@@ -106,18 +118,31 @@ def main():
     print(f"E_VMC (exact weights, same set) = {e_vmc:.6f} Ha "
           f"({(e_vmc - sys_.e_ref) * 1000:+.3f} mHa)", flush=True)
 
-    t0 = time.time()
-    e, c, info = ci_polish(
-        model, params, sys_, d_bits, bits, jax.random.PRNGKey(31),
-        fwd=fwd, sample_counts=counts, ci_chunk=args.ci_chunk,
-        eloc_batch=args.eloc_batch, k_det=args.k_det, n_stoch=args.n_stoch,
-        restrict=args.restrict,
-    )
-    e_tot = e + sys_.ecore
-    print(f"ci_polish: t={time.time()-t0:.0f}s  info={info}")
-    print(f"\nE_CI-NQS = {e_tot:.6f} Ha  "
-          f"({(e_tot - sys_.e_ref) * 1000:+.3f} mHa)   "
-          f"gain vs VMC {1000 * (e_vmc - e_tot):+.3f} mHa")
+    results = []
+    for m in m_list:
+        d_idx = order[:m]
+        d_bits = np.asarray(bits)[d_idx]
+        print(f"\n--- m = {m}  (CI set mass "
+              f"{p[d_idx].sum() / p.sum():.4f} of captured) ---", flush=True)
+        t0 = time.time()
+        e, c, info = ci_polish(
+            model, params, sys_, d_bits, bits, jax.random.PRNGKey(31),
+            fwd=fwd, sample_counts=counts, ci_chunk=args.ci_chunk,
+            eloc_batch=args.eloc_batch,
+            k_det=kd, n_stoch=ns,
+            restrict=args.restrict,
+        )
+        e_tot = e + sys_.ecore
+        print(f"ci_polish: t={time.time()-t0:.0f}s  info={info}")
+        print(f"E_CI-NQS = {e_tot:.6f} Ha  "
+              f"({(e_tot - sys_.e_ref) * 1000:+.3f} mHa)   "
+              f"gain vs VMC {1000 * (e_vmc - e_tot):+.3f} mHa", flush=True)
+        results.append((m, e_tot))
+    print("\n| m | E_polish (mHa) | gain vs E_VMC (mHa) |")
+    print("|---|---|---|")
+    for m, e_tot in results:
+        print(f"| {m} | {(e_tot - sys_.e_ref) * 1000:+.3f} | "
+              f"{1000 * (e_vmc - e_tot):+.3f} |")
 
 
 if __name__ == "__main__":
