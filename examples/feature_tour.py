@@ -115,7 +115,9 @@ def main():
         GFMCConfig(n_iter=80, p_steps=6, branch_interval=10,
                    dedup_unique_max=256),
     ).run(walkers, jax.random.PRNGKey(3))
-    e_g = out["energy"][-20:, -1].mean()
+    from pynqs_tpu.gfmc.walker import mixed_energy
+
+    e_g = mixed_energy(out, 6, tail=20)[0]
     print(f"GFMC (p=6):   {e_g:.6f} Ha ({1000 * (e_g - e0):+.2f} mHa)")
 
 

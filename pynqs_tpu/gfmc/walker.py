@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from pynqs_tpu.ops.hamiltonian import comb_hij
 
-__all__ = ["GFMC", "GFMCConfig", "ci_trial_log_psi"]
+__all__ = ["GFMC", "GFMCConfig", "ci_trial_log_psi", "mixed_energy"]
 
 
 def ci_trial_log_psi(ci):
@@ -64,6 +64,10 @@ class GFMCConfig:
     p_steps: int = 10  # cumulative β-product projection depth
     tau_lambda: float | None = None  # Λ shift; None = auto per batch
     gamma: float = 0.0  # sign-cure partial inclusion
+    # Reconfiguration cadence.  Branching every step maximizes the
+    # finite-population resampling bias (measured ~2 mHa low at W=1024
+    # on a 36-det toy vs <1σ at interval 10); keep >= 10 in production
+    # and grow W rather than branching more often.
     branch_interval: int = 10
     seed: int = 0
     # evaluate the trial once per UNIQUE connected determinant
@@ -185,30 +189,49 @@ class GFMC:
 
         from functools import partial as _partial
 
-        @_partial(jax.jit, static_argnums=(5,))
-        def scan_chunk(walkers, weights, factors, key, it0, n_chunk):
+        @_partial(jax.jit, static_argnums=(4,))
+        def scan_chunk(walkers, weights, key, it0, n_chunk):
             """``n_chunk`` GFMC iterations as ONE on-device lax.scan:
-            the mixed-estimator rows and the Λ-guard min(b) accumulate
-            in device arrays; the host reads them back once per chunk
-            (the reference's loop syncs per iteration — walker.py:
-            410-629 — which serializes on TPU)."""
+            the per-generation statistics and the Λ-guard min(b)
+            accumulate in device arrays; the host reads them back once
+            per chunk (the reference's loop syncs per iteration —
+            walker.py:410-629 — which serializes on TPU).
+
+            Per generation l it emits the Buonaura–Sorella pair
+            (ē_l, w̄_l): ē_l = Σᵢ wᵢ e_loc(nᵢ)/Σᵢ wᵢ is the ensemble
+            local-energy average with PRE-step weights (the ensemble
+            {nᵢ, wᵢ} represents ψ_T·φ_l), and w̄_l = Σᵢ wᵢbᵢ/Σᵢ wᵢ is
+            the scalar population growth factor.  The depth-p mixed
+            estimator is assembled on the host as a ratio of time
+            sums weighted by products of the p preceding w̄ factors
+            (reference mixed estimator walker.py:410-629; Buonaura &
+            Sorella, PRB 57, 11446 (1998)).  A per-WALKER factor
+            product (this module's pre-round-5 form) is wrong twice:
+            branching resamples walker slots (histories misalign) and
+            already materializes the weights into multiplicity, so
+            reweighting by them again importance-squares the ensemble
+            — measured 16 mHa BELOW the exact fixed-node energy on a
+            Hubbard toy, and +5 mHa above E_VMC on Fe2S2 (round-4
+            production anomaly)."""
 
             def body(carry, it):
-                walkers, weights, factors, key = carry
+                walkers, weights, key = carry
                 key, k = jax.random.split(key)
+                w_pre = weights
                 walkers, weights, e_loc, b, _ = self._iteration(
                     walkers, weights, k
                 )
-                factors = jnp.concatenate(
-                    [factors[1:], (b / b.mean())[None, :]], axis=0
-                )
-                # cumf[j] = product of the last (j+1) factors
-                cumf = jnp.cumprod(factors[::-1], axis=0)
-                e_row = [e_loc.mean()]
-                for p in range(1, cfg.p_steps + 1):
-                    wp = cumf[p - 1]
-                    e_row.append((wp * e_loc).sum() / wp.sum())
-                e_row = jnp.stack(e_row)
+                ebar = (w_pre * e_loc).sum() / w_pre.sum()
+                wbar = weights.sum() / w_pre.sum()
+                # post-step (b-weighted) generation average: pairs the
+                # current generation's weights with its local energies
+                # (Buonaura–Sorella measure ψ_T·φ one step deeper) —
+                # the depth-p product then INCLUDES w̄_l (j = 0..p−1)
+                ebar_b = (weights * e_loc).sum() / weights.sum()
+                # renormalize to mean 1: branch and ē are weight-scale
+                # invariant, and raw Πb products overflow f32 within
+                # ~50 generations (b ~ Λ − e_fn ~ O(5-10))
+                weights = weights / jnp.maximum(weights.mean(), 1e-30)
 
                 def do_branch(args):
                     w, wt, k = args
@@ -221,23 +244,31 @@ class GFMC:
                         lambda a: a,
                         (walkers, weights, key),
                     )
-                return (walkers, weights, factors, key), (e_row, b.min())
+                return (walkers, weights, key), (
+                    ebar, ebar_b, wbar, b.min()
+                )
 
-            (walkers, weights, factors, key), (e_rows, b_mins) = jax.lax.scan(
-                body, (walkers, weights, factors, key),
-                it0 + jnp.arange(n_chunk),
+            (walkers, weights, key), (ebars, ebars_b, wbars, b_mins) = (
+                jax.lax.scan(
+                    body, (walkers, weights, key),
+                    it0 + jnp.arange(n_chunk),
+                )
             )
-            return walkers, weights, factors, key, e_rows, b_mins
+            return walkers, weights, key, ebars, ebars_b, wbars, b_mins
 
         self._scan_chunk = scan_chunk
 
     def run(self, init_walkers, key=None, n_iter: int | None = None):
         """init_walkers [W, sorb] (e.g. VMC samples repeated by counts).
 
-        Returns dict with per-iteration mixed-estimator energies for
-        each projection depth 0..p_steps (energy[p] uses the product of
-        the last p weight factors — reference run():410-629).  The
-        iteration loop scans on device in ``sync_interval`` chunks.
+        Returns a dict with the per-generation Buonaura–Sorella series
+        ``e_gen`` (ensemble local-energy average, incl. ecore — at
+        iteration 0 with |ψ_T|²-distributed walkers this IS the VMC
+        energy; in equilibrium it reads the fixed-node mixed energy up
+        to population-control bias) and ``wbar`` (scalar growth
+        factors).  Assemble depth-p estimates with
+        :func:`mixed_energy`.  The iteration loop scans on device in
+        ``sync_interval`` chunks.
         """
         cfg = self.cfg
         n_iter = n_iter or cfg.n_iter
@@ -245,9 +276,7 @@ class GFMC:
         walkers = jnp.asarray(init_walkers, dtype=jnp.int8)
         W = walkers.shape[0]
         weights = jnp.ones((W,))
-        # ring buffer of the last p_steps normalized weight factors
-        factors = jnp.ones((max(cfg.p_steps, 1), W))
-        energies = []
+        e_gen, e_gen_b, wbar_all = [], [], []
         ecore = self.system.ecore
         if self._wsh is not None:
             walkers = jax.device_put(walkers, self._wsh)
@@ -256,8 +285,10 @@ class GFMC:
         it = 0
         while it < n_iter:
             n_chunk = min(sync, n_iter - it)
-            walkers, weights, factors, key, e_rows, b_mins = self._scan_chunk(
-                walkers, weights, factors, key, jnp.int32(it), n_chunk
+            walkers, weights, key, ebars, ebars_b, wbars, b_mins = (
+                self._scan_chunk(
+                    walkers, weights, key, jnp.int32(it), n_chunk
+                )
             )
             if self.cfg.check_lambda:
                 bm = np.asarray(b_mins)
@@ -269,10 +300,50 @@ class GFMC:
                         "tau_lambda (reference aborts all ranks here, "
                         "walker.py:522)"
                     )
-            energies.append(np.asarray(e_rows) + ecore)
+            e_gen.append(np.asarray(ebars, np.float64) + ecore)
+            e_gen_b.append(np.asarray(ebars_b, np.float64) + ecore)
+            wbar_all.append(np.asarray(wbars, np.float64))
             it += n_chunk
         return {
-            "energy": np.concatenate(energies),  # [n_iter, p_steps+1]
+            "e_gen": np.concatenate(e_gen),  # [n_iter]
+            "e_gen_b": np.concatenate(e_gen_b),  # [n_iter] post-step
+            "wbar": np.concatenate(wbar_all),  # [n_iter]
             "walkers": np.asarray(walkers),
             "weights": np.asarray(weights),
         }
+
+
+def mixed_energy(out, p: int, *, tail: int | None = None,
+                 n_blocks: int = 10):
+    """Depth-``p`` mixed estimator from a :meth:`GFMC.run` output:
+
+        E(p) = Σ_l G_l ē_l / Σ_l G_l,   G_l = Π_{j=1..p} w̄_{l-j}
+
+    over the last ``tail`` generations (default: second half), with a
+    blocked standard error (``n_blocks`` jackknife-free blocks of the
+    same ratio).  p=0 is the plain population average; growing p
+    removes the population-control bias of branching (reference mixed
+    estimator gfmc/walker.py:410-629).  Returns (energy, stderr).
+    """
+    e = np.asarray(out["e_gen"], np.float64)
+    w = np.asarray(out["wbar"], np.float64)
+    n = len(e)
+    if tail is None:
+        tail = n // 2
+    tail = min(tail, n - p)
+    # G_l from the p factors PRECEDING generation l, normalized for
+    # overflow safety (a constant scale cancels in the ratio)
+    lw = np.log(np.maximum(w / max(w.mean(), 1e-300), 1e-300))
+    cum = np.concatenate([[0.0], np.cumsum(lw)])
+    ls = np.arange(n - tail, n)
+    ls = ls[ls >= p]
+    logg = cum[ls] - cum[ls - p]
+    g = np.exp(logg - logg.max())
+    est = float((g * e[ls]).sum() / g.sum())
+    blocks = []
+    for b in range(n_blocks):
+        sl = slice(b * len(ls) // n_blocks, (b + 1) * len(ls) // n_blocks)
+        if g[sl].sum() > 0:
+            blocks.append((g[sl] * e[ls][sl]).sum() / g[sl].sum())
+    se = float(np.std(blocks) / np.sqrt(max(len(blocks) - 1, 1)))
+    return est, se

@@ -1,10 +1,15 @@
 """GFMC refinement of a trained Fe2S2 flagship state (VERDICT r3 #5).
 
 Reference second stage: gfmc/walker.py:410-629 — fixed-node GFMC with
-the trained NQS as trial, mixed estimator ⟨ψ_T|H|φ(p)⟩/⟨ψ_T|φ(p)⟩ at
-projection depths p = 0..p_steps (p=0 is the plain VMC energy of the
-walker distribution; larger p projects toward the fixed-node ground
-state and can only lower it, within walker noise).
+the trained NQS as trial; Buonaura–Sorella mixed estimator at
+population-control depths p = 0..p_steps.  The per-generation ē_l
+starts at the VMC energy (walkers drawn from |ψ_T|²) and equilibrates
+to the fixed-node mixed energy ≤ E_VMC; p corrects the residual
+population-control bias of branching.  (The round-4 run of this script
+read +10 mHa at "p=0" because the old estimator paired per-walker
+factor products with branch-resampled walker slots — root-caused and
+replaced in round 5; see tests/test_gfmc_ci.py dense fixed-node
+oracle.)
 
 Trial forwards run through the Pallas fused forward; each iteration's
 [W, 1+n_sd] trial block is deduped (walkers concentrate after
@@ -42,6 +47,10 @@ def main():
                          "block (walkers repeat heavily after branching)")
     ap.add_argument("--n-sample", type=int, default=1_000_000,
                     help="DFS sample size for walker initialization")
+    ap.add_argument("--init-capacity", type=int, default=8192,
+                    help="DFS capture capacity for the walker draw "
+                         "(round-4 used 4096, truncating the init "
+                         "distribution of a 32k-unique state)")
     ap.add_argument("--tail", type=int, default=200,
                     help="iterations averaged for the reported energies")
     args = ap.parse_args()
@@ -76,8 +85,9 @@ def main():
     @jax.jit
     def draw(key):
         bits, counts, _ = ar_sampling_dfs(
-            model, params, key, args.n_sample, capacity=4096, n_group=4,
-            split_depth=6, capacity_root=4096,
+            model, params, key, args.n_sample,
+            capacity=args.init_capacity, n_group=8,
+            split_depth=6, capacity_root=args.init_capacity,
         )
         return bits, counts
 
@@ -102,13 +112,15 @@ def main():
     t0 = time.time()
     out = g.run(walkers, key=jax.random.PRNGKey(23))
     dt = time.time() - t0
-    e = out["energy"]  # [n_iter, p_steps+1]
-    tail = e[-args.tail:]
+    from pynqs_tpu.gfmc.walker import mixed_energy
+
     print(f"\nGFMC {args.n_iter} iters, {args.n_walkers} walkers, "
           f"{dt:.1f}s ({dt / args.n_iter * 1e3:.0f} ms/iter)")
-    for pdepth in range(e.shape[1]):
-        m = tail[:, pdepth].mean()
-        se = tail[:, pdepth].std() / np.sqrt(len(tail))
+    e0g = out["e_gen"]
+    print(f"  e_gen[0] (VMC of init draw) = {e0g[0]:.6f} Ha "
+          f"({(e0g[0] - sys_.e_ref) * 1000:+.3f} mHa)")
+    for pdepth in range(args.p_steps + 1):
+        m, se = mixed_energy(out, pdepth, tail=args.tail)
         print(f"  p={pdepth:2d}  E = {m:.6f} +- {se:.6f} Ha   "
               f"Delta = {(m - sys_.e_ref) * 1000:+.3f} mHa")
 

@@ -200,9 +200,14 @@ def test_gfmc_mesh_sharded_with_dedup_matches_local():
     ).run(walkers, jax.random.PRNGKey(1))
     # same seeds, same math: dedup + sharding change nothing
     np.testing.assert_allclose(
-        fancy["energy"], base["energy"], rtol=1e-8, atol=1e-8
+        fancy["e_gen"], base["e_gen"], rtol=1e-8, atol=1e-8
     )
-    e_p = fancy["energy"][-15:, -1].mean()
+    np.testing.assert_allclose(
+        fancy["wbar"], base["wbar"], rtol=1e-8, atol=1e-8
+    )
+    from pynqs_tpu.gfmc.walker import mixed_energy
+
+    e_p = mixed_energy(fancy, 4, tail=15)[0]
     assert abs(e_p - e0) < 0.1, (e_p, e0)
 
 

@@ -42,35 +42,65 @@ def test_gfmc_exact_trial_gives_exact_energy():
     walkers = np.broadcast_to(hf, (64, sys.sorb))
     out = g.run(walkers, key=jax.random.PRNGKey(0))
     # with the exact trial, e_loc ≡ E0 so every estimator equals E0
-    np.testing.assert_allclose(out["energy"], w[0], atol=1e-8)
+    np.testing.assert_allclose(out["e_gen"], w[0], atol=1e-8)
+    from pynqs_tpu.gfmc.walker import mixed_energy
+
+    for p in range(4):
+        np.testing.assert_allclose(mixed_energy(out, p)[0], w[0], atol=1e-8)
+
+
+def _dense_fixed_node(H, c):
+    """Exact fixed-node effective Hamiltonian (γ=0) ground energy for a
+    real trial vector c — the oracle for the GFMC mixed estimator
+    (reference sign cure, gfmc/walker.py:167-235)."""
+    n = len(c)
+    Ht = H * np.outer(1.0 / c, c)
+    off = ~np.eye(n, dtype=bool)
+    viol = (Ht > 0) & off
+    HFN = np.where(viol, 0.0, H)
+    np.fill_diagonal(HFN, np.diag(H) + np.where(viol, Ht, 0.0).sum(1))
+    return np.linalg.eigvalsh(HFN)[0]
 
 
 @pytest.mark.slow
-def test_gfmc_improves_imperfect_trial():
+def test_gfmc_converges_to_exact_fixed_node_energy():
+    """The depth-p mixed estimator must converge to the EXACT fixed-
+    node ground energy (dense-oracle eigenvalue), sit at or below
+    E_var, and at or above E0 — the pre-round-5 per-walker-factor
+    estimator read 16 mHa BELOW E0 on this system (and 5 mHa above
+    E_VMC at Fe2S2 production)."""
+    from pynqs_tpu.gfmc.walker import mixed_energy
+    from pynqs_tpu.ops.integrals import decompress_h2e
+    import oracle as _oracle
+
     sys, space, w, v = _system_and_fci()
-    # perturbed trial: mix ground state with 1st excited state
     rng = np.random.default_rng(0)
     c = v[:, 0] + 0.15 * v[:, 1] + 0.1 * v[:, 2]
     c /= np.linalg.norm(c)
     ci = CIWavefunction(coeffs=c, bits=space)
-    e_var = ci.energy(sys.tables)
+    e_var = float(ci.energy(sys.tables))
+    dets = _oracle.fci_space(sys.sorb, sys.noa, sys.nob)
+    H = _oracle.dense_h(dets, sys.h1e, decompress_h2e(sys.h2e, sys.sorb))
+    e0fn = _dense_fixed_node(H, c)
+    assert w[0] - 1e-9 <= e0fn <= e_var + 1e-9
     trial = ci_trial_log_psi(ci)
     g = GFMC(
         trial, sys,
-        GFMCConfig(n_walkers=512, n_iter=120, p_steps=8, branch_interval=10),
+        GFMCConfig(n_walkers=1024, n_iter=400, p_steps=10,
+                   branch_interval=10),
     )
-    from pynqs_tpu.ops import onv
-
-    hf = onv.hf_bits(sys.sorb, sys.noa, sys.nob)
-    walkers = np.broadcast_to(hf, (512, sys.sorb))
-    out = g.run(walkers, key=jax.random.PRNGKey(1))
-    e_late = out["energy"][60:, :]  # after equilibration
-    e_p0 = e_late[:, 0].mean()  # mixed estimator, no projection
-    e_p8 = e_late[:, -1].mean()  # deepest projection
+    # init walkers from |psi_T|^2
+    pr = c**2 / (c**2).sum()
+    idx = rng.choice(len(pr), size=1024, p=pr)
+    out = g.run(np.asarray(space)[idx], key=jax.random.PRNGKey(1))
     assert e_var > w[0] + 1e-4  # trial is not exact
-    # projection should move the energy toward E0 vs the p=0 estimator
-    assert e_p8 < e_p0 + 1e-9
-    assert abs(e_p8 - w[0]) < abs(e_var - w[0]), (e_p8, e_var, w[0])
+    e_p0, se0 = mixed_energy(out, 0, tail=250)
+    e_p, se = mixed_energy(out, 10, tail=250)
+    # deep projection: agrees with the dense fixed-node oracle
+    assert abs(e_p - e0fn) < max(4 * se, 2e-3), (e_p, se, e0fn)
+    # and respects both variational fences
+    assert e_p < e_var + 2 * se
+    assert e_p > w[0] - max(4 * se, 2e-3)
 
 
 @pytest.mark.slow

@@ -115,7 +115,7 @@ def test_gfmc_runs_under_mesh():
     with mesh:
         walkers = jax.device_put(walkers, batch_sharding(mesh))
         out = g.run(walkers, key=jax.random.PRNGKey(0))
-    np.testing.assert_allclose(out["energy"], w[0], atol=1e-8)
+    np.testing.assert_allclose(out["e_gen"], w[0], atol=1e-8)
 
 
 def test_er_localization_invariant_energy_and_increases_self_repulsion():

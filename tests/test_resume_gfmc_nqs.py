@@ -77,7 +77,9 @@ def test_gfmc_improves_trained_nqs():
         GFMCConfig(n_walkers=512, n_iter=150, p_steps=8, branch_interval=10),
     )
     out = g.run(walkers, key=jax.random.PRNGKey(8))
-    e_mix = out["energy"][80:, -1].mean()
+    from pynqs_tpu.gfmc.walker import mixed_energy
+
+    e_mix = mixed_energy(out, 8, tail=70)[0]
     # mixed estimator with projection should improve on the VMC energy
     assert e_mix < e_vmc + 1e-9, (e_mix, e_vmc)
     assert e_mix > e0 - 0.05  # sane (fixed-node variational up to stats)
