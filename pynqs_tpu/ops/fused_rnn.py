@@ -100,6 +100,16 @@ def _pack_weights(model, params, dp: int):
     eta = jax.nn.softplus(params["eta"].astype(dt))  # [norb, 4, d]
     eta = jnp.pad(eta, [(0, 0), (0, 0), (0, dp - d)])
     E = jnp.stack([eta, eta], axis=2).reshape(norb, 8 * dp, 1)
+    # reduction matrix R [norb, 8, 8dp] (round-5 VPU-chain cut): rows
+    # 0-3 carry softplus(η) on value block v — ONE tiny MXU dot
+    # R[t] @ z² gives all four η-weighted per-value sums — and row 4 is
+    # all-ones for the mpsrnn gauge sum; replaces the z²·E elementwise
+    # pass + 8 sublane block reductions per site.
+    ecat = jnp.stack([eta, eta], axis=2).reshape(norb, 4, 2 * dp)
+    R = jnp.zeros((norb, 8, 8 * dp), dt)
+    for v in range(4):
+        R = R.at[:, v, v * 2 * dp : (v + 1) * 2 * dp].set(ecat[:, v])
+    R = R.at[:, 4, :].set(1.0)
 
     if model.phase_mode == "arg":
         wr = jnp.pad(params["w_arg_re"].astype(dt), [(0, 0), (0, dp - d)])
@@ -133,7 +143,7 @@ def _pack_weights(model, params, dp: int):
             [PW, jnp.zeros((norb, 4, 2 * dp), dt)], axis=1
         )  # [norb, 8, 2dp]
         SC = params["c_ph"].astype(dt)  # [norb, 4]
-    return Wt, vcat, E, PW, SC
+    return Wt, vcat, E, R, PW, SC
 
 
 def _pack_tensor_weights(model, params, dp: int, dcp: int):
@@ -189,12 +199,12 @@ def _kernel(
     model_static,
 ):
     # refs: sc [norb,4] SMEM, vals [norb,TB], W [norb,8dp,2·mp·dp],
-    # vcat [norb,8dp,1], E [norb,8dp,1], pw [norb,8,2dp],
+    # vcat [norb,8dp,1], R [norb,8,8dp], pw [norb,8,2dp],
     # (UW [norb,mp·8·dcp,2·mp·dp], KW [norb,8dp,8dcp] iff use_tensor),
     # out [8,TB], hbuf scratch
     (order, pred, norb, d, dp, mp, noa, nob, phase_mode, norm_mode, mmdt,
      use_tensor, dcp, npred) = model_static
-    sc_ref, vals_ref, W_ref, vcat_ref, E_ref, pw_ref = refs[:6]
+    sc_ref, vals_ref, W_ref, vcat_ref, R_ref, pw_ref = refs[:6]
     if use_tensor:
         uw_ref, kw_ref = refs[6:8]
         out_ref, hbuf = refs[8:]
@@ -280,16 +290,15 @@ def _kernel(
                     precision=_HI,
                 )
 
-        # ---- per-value weights: η-weighted block sublane sums ----
+        # ---- per-value weights: one [8, 8dp] @ [8dp, TB] MXU dot
+        # (rows 0-3 = η-weighted block sums, row 4 = gauge sum) ----
         zsq = z * z
-        wsq = zsq * E_ref[t]
-        lw = []
-        ssq = jnp.zeros((1, TB), f32)
-        for v in range(4):
-            blk = slice(v * 2 * dp, (v + 1) * 2 * dp)
-            ssq = ssq + jnp.sum(zsq[blk, :], 0, keepdims=True)
-            w_v = jnp.sum(wsq[blk, :], 0, keepdims=True)
-            lw.append(jnp.log(jnp.maximum(w_v, 1e-30)))
+        sums = jnp.dot(R_ref[t], zsq, preferred_element_type=f32)
+        lw = [
+            jnp.log(jnp.maximum(sums[v : v + 1, :], 1e-30))
+            for v in range(4)
+        ]
+        ssq = sums[4:5, :]
         rem = float(norb - t - 1)
         occ_a = used_a + 1.0 <= float(noa)
         emp_a = float(noa) - used_a <= rem
@@ -403,7 +412,8 @@ def graph_mpsrnn_logpsi_fused(
         )
     vals_t = vals.T  # [norb, n_pad]
 
-    W, vcat, E, PW, SC = _pack_weights(model, params, dp)
+    W, vcat, E, R, PW, SC = _pack_weights(model, params, dp)
+    del E  # superseded in this kernel by the reduction matrix R
     if matmul_dtype == jnp.bfloat16:
         W = W.astype(jnp.bfloat16)  # halves VMEM residency
 
@@ -426,10 +436,10 @@ def graph_mpsrnn_logpsi_fused(
         pl.BlockSpec((norb, TB), lambda i: (0, i), memory_space=pltpu.VMEM),
         inv((norb, 8 * dp, 2 * mp * dp)),
         inv((norb, 8 * dp, 1)),
-        inv((norb, 8 * dp, 1)),
+        inv((norb, 8, 8 * dp)),
         inv((norb, 8, 2 * dp)),
     ]
-    operands = [SC, vals_t, W, vcat, E, PW]
+    operands = [SC, vals_t, W, vcat, R, PW]
     if model.use_tensor:
         UW, KW = _pack_tensor_weights(model, params, dp, dcp)
         if matmul_dtype == jnp.bfloat16:

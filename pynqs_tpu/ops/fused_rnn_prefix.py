@@ -383,7 +383,7 @@ def graph_mpsrnn_logpsi_fused_prefix(
         v = (bi[..., 0::2] + 2 * bi[..., 1::2]).astype(jnp.float32)
         return v[..., order]  # process order: row t = site order[t]
 
-    W, vcat, E, PW, SC = _pack_weights(model, params, dp)
+    W, vcat, E, _R, PW, SC = _pack_weights(model, params, dp)
     if matmul_dtype == jnp.bfloat16:
         W = W.astype(jnp.bfloat16)
     mmdt = "bf16" if matmul_dtype == jnp.bfloat16 else "f32"
