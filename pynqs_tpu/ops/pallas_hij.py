@@ -81,22 +81,61 @@ def _kernel(pv_ref, po_ref, h1_ref, h2_ref, h3_ref, out_ref, *, P):
     out_ref[0] = w
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def _kernel_rowrow(pv_ref, po_ref, h1_ref, h2_ref, h3_ref, out_ref, *, P):
+    """Transposed-output variant (round-5 miscompile workaround
+    attempt): BOTH dots are standard row-form contractions — the
+    lane-lane dn of `_kernel`'s second dot, the prime remaining
+    miscompile suspect, is avoided by building the po one-hot
+    TRANSPOSED ([P, UP]: po rides the LANE axis of its block, the pair
+    index on sublanes) so W^T = T [VP, P] @ oh_uT [P, UP] is a plain
+    matmul; the [B, VP, UP] output is transposed back outside the
+    kernel."""
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    VP = pv_ref.shape[1]
+    UP = po_ref.shape[2]
+
+    pv = pv_ref[0]  # [VP, 1] int32
+    po_row = po_ref[0]  # [1, UP] int32 (lane layout)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (VP, P), 1)
+    iota_q = jax.lax.broadcasted_iota(jnp.int32, (P, UP), 0)
+    oh_v = (pv == iota_v).astype(bf16)  # [VP, P]
+    oh_uT = (po_row == iota_q).astype(bf16)  # [P, UP]
+
+    dn_row = (((1,), (0,)), ((), ()))
+    wt = jnp.zeros((VP, UP), f32)
+    for h_ref in (h1_ref, h2_ref, h3_ref):
+        t = jax.lax.dot_general(
+            oh_v, h_ref[...], dn_row, preferred_element_type=f32
+        )  # [VP, P]
+        wt += jax.lax.dot_general(
+            t.astype(bf16), oh_uT, dn_row, preferred_element_type=f32
+        )  # [VP, UP]
+    out_ref[0] = wt
+
+
+@partial(jax.jit, static_argnames=("interpret", "variant"))
 def pair_select_w(
     po: jax.Array,
     pv: jax.Array,
     hpair: jax.Array,
     *,
     interpret: bool = False,
+    variant: str = "lane",
 ) -> jax.Array:
     """W[b, u, v] = hpair[po[b, u], pv[b, v]], f32-faithful.
 
     po [B, n_u] int32, pv [B, n_v] int32 (values < npair),
     hpair [npair, npair] f32.  Returns [B, n_u, n_v] f32.
+    ``variant``: "lane" = original lane-lane second dot (known
+    miscompile on axon Mosaic), "rowrow" = transposed-one-hot
+    workaround (two standard matmuls, output transposed outside).
     """
     B, n_u = po.shape
     n_v = pv.shape[1]
     npair = hpair.shape[0]
+    if variant == "rowrow":
+        return _pair_select_w_rowrow(po, pv, hpair, interpret=interpret)
     P = _round_up(npair, 128)
     UP = _round_up(n_u, 8)
     VP = _round_up(n_v, 8)
@@ -149,3 +188,53 @@ def pair_select_w(
         interpret=interpret,
     )(pv_p, po_p, h1, h2, h3)
     return out[:, :n_u, :n_v]
+
+
+def _pair_select_w_rowrow(po, pv, hpair, *, interpret=False):
+    B, n_u = po.shape
+    n_v = pv.shape[1]
+    npair = hpair.shape[0]
+    P = _round_up(npair, 128)
+    UP = _round_up(n_u, 128)  # po rides the LANE axis in this variant
+    VP = _round_up(n_v, 8)
+
+    h = jnp.zeros((P, P), jnp.float32).at[:npair, :npair].set(
+        hpair.astype(jnp.float32)
+    )
+    h1 = h.astype(jnp.bfloat16)
+    r1 = h - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    po_p = jnp.full((B, 1, UP), npair, jnp.int32).at[:, 0, :n_u].set(
+        po.astype(jnp.int32)
+    )
+    pv_p = jnp.full((B, VP, 1), npair, jnp.int32).at[:, :n_v, 0].set(
+        pv.astype(jnp.int32)
+    )
+
+    inv = lambda shape: pl.BlockSpec(  # noqa: E731 — grid-invariant
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_kernel_rowrow, P=P),
+        out_shape=jax.ShapeDtypeStruct((B, VP, UP), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, VP, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, UP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            inv((P, P)),
+            inv((P, P)),
+            inv((P, P)),
+        ],
+        out_specs=pl.BlockSpec((1, VP, UP), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pv_p, po_p, h1, h2, h3)
+    return jnp.swapaxes(out[:, :n_v, :n_u], 1, 2)

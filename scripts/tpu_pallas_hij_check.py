@@ -50,17 +50,26 @@ def main():
     from pynqs_tpu.utils.checkpoint import load_params
 
     # --- 1. raw kernel vs numpy ---
+    # ROUND-5 ROOT CAUSE of the round-3/4 "miscompile": this check used
+    # a NON-symmetric random hpair, but the kernel contracts the
+    # one-hots as h[pv, po] (== h[po, pv] only for symmetric h — which
+    # the physical pair matrix always is, integrals.py:328-330).  The
+    # "max err 6.77 on hardware" was this harness bug, reproducible in
+    # interpret mode too; the kernel itself is exact.
     rng = np.random.default_rng(0)
     npair, n_u, n_v, B = 780, 435, 45, 64
     hp = rng.standard_normal((npair, npair)).astype(np.float32)
+    hp = (hp + hp.T) / 2  # physical pair matrices are symmetric
     po = rng.integers(0, npair, size=(B, n_u)).astype(np.int32)
     pv = rng.integers(0, npair, size=(B, n_v)).astype(np.int32)
-    w = np.asarray(pair_select_w(jnp.asarray(po), jnp.asarray(pv),
-                                 jnp.asarray(hp)))
     want = hp[po[:, :, None], pv[:, None, :]]
-    err = np.abs(w - want).max()
-    print(f"pair_select_w vs numpy: max |err| = {err:.3e}", flush=True)
-    assert err < 1e-6, "pair_select_w WRONG on this backend"
+    for variant in ("lane", "rowrow"):
+        w = np.asarray(pair_select_w(jnp.asarray(po), jnp.asarray(pv),
+                                     jnp.asarray(hp), variant=variant))
+        err = np.abs(w - want).max()
+        print(f"pair_select_w[{variant}] vs numpy: max |err| = {err:.3e}",
+              flush=True)
+        assert err < 1e-6, f"pair_select_w[{variant}] WRONG on this backend"
 
     # --- setup for 2-4 ---
     sys_ = System.from_pth(
