@@ -123,13 +123,17 @@ def pair_select_w(
     interpret: bool = False,
     variant: str = "lane",
 ) -> jax.Array:
-    """W[b, u, v] = hpair[po[b, u], pv[b, v]], f32-faithful.
+    """W[b, u, v] = hpair[po[b, u], pv[b, v]] for SYMMETRIC hpair.
 
     po [B, n_u] int32, pv [B, n_v] int32 (values < npair),
-    hpair [npair, npair] f32.  Returns [B, n_u, n_v] f32.
-    ``variant``: "lane" = original lane-lane second dot (known
-    miscompile on axon Mosaic), "rowrow" = transposed-one-hot
-    workaround (two standard matmuls, output transposed outside).
+    hpair [npair, npair] f32 — MUST be symmetric: the two-dot
+    contraction actually yields hpair[pv, po] (physical pair matrices
+    are symmetric by construction, ops/integrals.py:328-330; an
+    asymmetric test input is what produced the round-3/4 false
+    "miscompile" verdict).  Returns [B, n_u, n_v] f32.
+    ``variant``: "lane" = lane-lane second dot, "rowrow" =
+    transposed-one-hot form (two standard matmuls, output transposed
+    outside the kernel).
     """
     B, n_u = po.shape
     n_v = pv.shape[1]
