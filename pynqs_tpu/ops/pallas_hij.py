@@ -10,8 +10,8 @@ materializes the [B, n_u, npair] and [B, n_v, npair] one-hots in HBM
 cpp_src/cuda/excitation.cu:130 — a scalar-core disaster on TPU).
 
 Here the whole selection lives in VMEM and NOTHING data-dependent is
-indexed (Mosaic lowers dynamic sublane gathers incorrectly on this
-backend — measured wrong results on hardware; see CLAUDE.md):
+indexed (data-dependent gathers are scalar-core bound on TPU; see
+CLAUDE.md):
   * Hpair is pre-split OUTSIDE the kernel into three bf16 terms
     (hi + lo + lo2 carries ≥24 mantissa bits — f32-faithful), each a
     grid-invariant VMEM block ([P, P] bf16, P = roundup(npair, 128),
@@ -59,15 +59,13 @@ def _kernel(pv_ref, po_ref, h1_ref, h2_ref, h3_ref, out_ref, *, P):
     oh_u = (po == iota_u).astype(bf16)  # [UP, P]
 
     # T[v, q] = H_k[pv[v], q]: contract the one-hot against H's ROW
-    # index directly (standard matmul).  An earlier form transposed H
-    # in-kernel (`h_ref[...].T` + lane-lane contraction) and was the
-    # prime miscompile suspect — but this transpose-free rewrite STILL
-    # returns wrong values on the axon backend (max err 6.77 vs numpy,
-    # scripts/tpu_pallas_hij_check.py, 2026-08-19) while being exact in
-    # interpret mode and on the CPU backend.  The miscompile is
-    # elsewhere (second lane-lane dot or the (1, VP, 1) index blocks).
-    # The kernel therefore stays OFF `auto` (hamiltonian.comb_hij gates
-    # it behind pair_select="pallas") — diagnostic/opt-in only.
+    # index (standard matmul), then W[u, v] = Σ_q oh_u·T — i.e. the
+    # result is h[pv, po], which equals the advertised h[po, pv] for
+    # the (always symmetric) physical pair matrix.  The round-3/4
+    # "max err 6.77 on hardware" verdict was the check harness feeding
+    # a NON-symmetric random h (root-caused round 5) — not a Mosaic
+    # miscompile.  Promotion into comb_hij's "auto" is gated on the
+    # on-chip re-validation + timing (scripts/tpu_pallas_hij_check.py).
     dn_row = (((1,), (0,)), ((), ()))  # A[v,p] B[p,q] -> [v,q]
     dn_lane = (((1,), (1,)), ((), ()))  # A[u,q] B[v,q] -> [u,v]
     w = jnp.zeros((UP, VP), f32)
