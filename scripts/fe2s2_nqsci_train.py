@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--n-sample", type=int, default=1_000_000)
     ap.add_argument("--capacity", type=int, default=8192)
     ap.add_argument("--grad-strategy", type=int, default=1)
+    ap.add_argument("--ci-file", type=str, default=None,
+                    help="load the CI space from this save_ci .npz "
+                         "(skips capture+selection; e.g. the CPU-"
+                         "precomputed checkpoints/fe2s2_hci_m*.npz)")
     ap.add_argument("--ci-chunk", type=int, default=65536,
                     help="flat connected-row chunk for the H_cn forward")
     ap.add_argument("--eloc-batch", type=int, default=1024)
@@ -69,6 +73,7 @@ def main():
 
     from pynqs_tpu.ci.nqs_ci import NqsCi, NqsCiConfig
     from pynqs_tpu.ci.selected import selected_ci
+    from pynqs_tpu.ci.solve import load_ci
     from pynqs_tpu.sampler.ar import ar_sampling_dfs
     from pynqs_tpu.utils.checkpoint import load_params, save_params
     from pynqs_tpu.utils.flagship import fe2s2_system, flagship_model
@@ -82,6 +87,14 @@ def main():
     if isinstance(params, dict) and "params" in params:
         params = params["params"]
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+
+    if args.ci_file:
+        ci, meta = load_ci(args.ci_file)
+        e_var = float(meta.get("e_var", np.nan))
+        print(f"loaded CI space {args.ci_file}: m={ci.bits.shape[0]}  "
+              f"E_var = {e_var:.6f} Ha "
+              f"({(e_var - sys_.e_ref) * 1000:+.3f} mHa)", flush=True)
+        return _train(args, sys_, model, params, ci)
 
     # ---- 1. capture the state, rank by |psi|^2 ----
     t0 = time.time()
@@ -108,6 +121,16 @@ def main():
     print(f"selected CI: m={ci.bits.shape[0]}  "
           f"E_var = {e_var:.6f} Ha ({(e_var - sys_.e_ref) * 1000:+.3f} mHa)"
           f"  t={time.time() - t0:.0f}s", flush=True)
+    return _train(args, sys_, model, params, ci)
+
+
+def _train(args, sys_, model, params, ci):
+    import jax
+    import numpy as np
+    import optax
+
+    from pynqs_tpu.ci.nqs_ci import NqsCi, NqsCiConfig
+    from pynqs_tpu.utils.checkpoint import save_params
 
     # ---- 3. coupled CI-NQS training ----
     cfg = NqsCiConfig(
