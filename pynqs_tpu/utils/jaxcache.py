@@ -15,6 +15,16 @@ __all__ = ["enable_compilation_cache"]
 def enable_compilation_cache(path: str | None = None):
     import jax
 
+    # PYNQS_PLATFORM=cpu lets any production script run a CPU smoke
+    # test: the JAX_PLATFORMS env var is NOT honored here because the
+    # environment's sitecustomize pins the axon platform at interpreter
+    # start (CLAUDE.md) — only an explicit config update overrides it,
+    # and it must land before the backend initializes (i.e. before the
+    # first traced computation), which "call this first" guarantees.
+    plat = os.environ.get("PYNQS_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     path = path or os.path.expanduser("~/.cache/pynqs_tpu_xla")
     os.makedirs(path, exist_ok=True)
     try:
