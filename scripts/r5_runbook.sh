@@ -1,0 +1,58 @@
+#!/bin/bash
+# Round-5 post-training TPU runbook (STATUS.md), fully autonomous:
+# waits for the training watchdog to exit, then runs each stage
+# serially (ONE TPU client at a time — CLAUDE.md) with timeouts so a
+# wedged tunnel can't eat the whole window.  Each stage logs to
+# logs/r5_<stage>.log; failures don't stop later stages.
+set -u
+cd /root/repo
+PY=/opt/venv/bin/python
+
+WPID=$(cat /tmp/watchdog.pid 2>/dev/null || echo 0)
+while [ "$WPID" != 0 ] && kill -0 "$WPID" 2>/dev/null; do sleep 60; done
+
+CKPT=checkpoints/fe2s2_r3_dcut64_r5g64.pkl
+[ -f "$CKPT" ] || CKPT=checkpoints/fe2s2_r3_dcut64_r5g64_resume.pkl
+EMA=checkpoints/fe2s2_r3_dcut64_r5g64_ema.pkl
+FLAGS="--dcut 64 --use-tensor --max-preds 2"
+echo "[runbook] start $(date -u +%H:%M:%S) ckpt=$CKPT" >> logs/r5_runbook.log
+
+# 1. canonical honest-measure eval (exact eloc, no tail noise)
+timeout 2700 $PY scripts/eval_fe2s2_final.py "$CKPT" $FLAGS \
+    --capacity 16384 --k-det 0 --n-rep 4 \
+    > logs/r5_eval_final.log 2>&1
+echo "[runbook] eval_final rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+
+if [ -f "$EMA" ]; then
+  timeout 1500 $PY scripts/eval_fe2s2_final.py "$EMA" $FLAGS \
+      --capacity 16384 --k-det 0 --n-rep 2 \
+      > logs/r5_eval_ema.log 2>&1
+  echo "[runbook] eval_ema rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+fi
+
+# 2. ci_polish capture-mode m-sweep (also the second independent
+#    exact E_VMC reading for the VERDICT #4 reconciliation)
+timeout 3000 $PY scripts/fe2s2_ci_polish.py "$CKPT" $FLAGS \
+    --capacity 8192 --m 2048,4096,8192,16384 --k-det 0 \
+    > logs/r5_cipolish.log 2>&1
+echo "[runbook] ci_polish rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+
+# 3. GFMC with the round-5 Buonaura-Sorella estimator
+timeout 3000 $PY scripts/fe2s2_gfmc.py "$CKPT" $FLAGS \
+    --n-walkers 8192 --n-iter 400 --p-steps 10 --dedup-max 65536 \
+    --init-capacity 8192 --tail 200 \
+    > logs/r5_gfmc.log 2>&1
+echo "[runbook] gfmc rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+
+# 4. NqsCi training on the CPU-precomputed heat-bath CI space
+timeout 2400 $PY scripts/fe2s2_nqsci_train.py "$CKPT" $FLAGS \
+    --ci-file checkpoints/fe2s2_hci_m4096.npz --iters 200 \
+    > logs/r5_nqsci.log 2>&1
+echo "[runbook] nqsci rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+
+# 5. kernel A/B at the training config + final bench
+timeout 1200 $PY scripts/profile_reduce_r4.py > logs/r5_profile_reduce.log 2>&1
+echo "[runbook] profile rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+timeout 1200 $PY bench.py > logs/r5_bench.log 2>&1
+echo "[runbook] bench rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+echo "[runbook] DONE $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
