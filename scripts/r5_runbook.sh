@@ -50,9 +50,15 @@ timeout 2400 $PY scripts/fe2s2_nqsci_train.py "$CKPT" $FLAGS \
     > logs/r5_nqsci.log 2>&1
 echo "[runbook] nqsci rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
-# 5. kernel A/B at the training config + final bench
+# 5. kernel work: pallas pair-select on-chip re-validation (round-5
+#    root cause says the round-3/4 "miscompile" was a harness bug),
+#    step decomposition at the training config, prefix win-or-negative
+timeout 1800 $PY scripts/tpu_pallas_hij_check.py > logs/r5_pallas_hij.log 2>&1
+echo "[runbook] pallas_hij rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 timeout 1200 $PY scripts/profile_reduce_r4.py > logs/r5_profile_reduce.log 2>&1
 echo "[runbook] profile rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+BENCH_MODE=prefix timeout 900 $PY bench.py > logs/r5_bench_prefix.log 2>&1
+echo "[runbook] bench_prefix rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 timeout 1200 $PY bench.py > logs/r5_bench.log 2>&1
 echo "[runbook] bench rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 echo "[runbook] DONE $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
