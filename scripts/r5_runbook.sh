@@ -17,6 +17,12 @@ EMA=checkpoints/fe2s2_r3_dcut64_r5g64_ema.pkl
 FLAGS="--dcut 64 --use-tensor --max-preds 2"
 echo "[runbook] start $(date -u +%H:%M:%S) ckpt=$CKPT" >> logs/r5_runbook.log
 
+# 0. fused-forward on-chip parity gate (the round-5 R-matrix fold has
+#    never run compiled Mosaic; every later stage trusts this kernel)
+timeout 1500 $PY scripts/tpu_fused_parity_check.py "$CKPT" $FLAGS \
+    > logs/r5_parity.log 2>&1
+echo "[runbook] parity rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+
 # 1. canonical honest-measure eval (exact eloc, no tail noise)
 timeout 2700 $PY scripts/eval_fe2s2_final.py "$CKPT" $FLAGS \
     --capacity 16384 --k-det 0 --n-rep 4 \
