@@ -50,9 +50,13 @@ timeout 3000 $PY scripts/fe2s2_gfmc.py "$CKPT" $FLAGS \
     > logs/r5_gfmc.log 2>&1
 echo "[runbook] gfmc rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
-# 4. NqsCi training on the CPU-precomputed heat-bath CI space
+# 4. NqsCi training on the CPU-precomputed heat-bath CI space.
+#    m=1024: H_cn is m*(1+n_sd) XLA-forward rows per iteration WITH AD
+#    (the coupled gradient needs d log_psi / d theta, so the
+#    gradient-free fused kernel cannot serve it) — m=4096 would be
+#    ~32M rows/iter and blow the window.
 timeout 2400 $PY scripts/fe2s2_nqsci_train.py "$CKPT" $FLAGS \
-    --ci-file checkpoints/fe2s2_hci_m4096.npz --iters 200 \
+    --ci-file checkpoints/fe2s2_hci_m1024.npz --iters 150 \
     > logs/r5_nqsci.log 2>&1
 echo "[runbook] nqsci rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
