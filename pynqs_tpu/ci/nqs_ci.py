@@ -71,10 +71,18 @@ class NqsCiConfig:
 
 class NqsCi:
     def __init__(self, model, system, ci_bits: np.ndarray, config=None,
-                 optimizer=None):
+                 optimizer=None, eval_fwd=None):
+        """``eval_fwd(params, bits) -> [N, 2]``: optional fast forward
+        for the GRADIENT-FREE evaluations (the H_nn local energy's
+        [C, 1+n_sd] connected block — the dominant per-iteration cost
+        at production scale).  The coupled gradient's own forwards
+        (sampled-row log ψ, H_cn) stay on ``model.log_psi`` because
+        they need d log ψ / dθ; the Pallas fused kernel defines no
+        VJP.  Default: ``model.log_psi`` (exact toy behavior)."""
         self.model = model
         self.system = system
         self.cfg = config or NqsCiConfig()
+        self._eval_fwd = eval_fwd
         self.tx = optimizer if optimizer is not None else optax.adam(
             self.cfg.lr
         )
@@ -108,14 +116,19 @@ class NqsCi:
         cfg = self.cfg
         from pynqs_tpu.sampler.ar import ar_sampling
 
-        def masked_log_psi(params, bits):
+        def _masked(base_fwd, params, bits):
             """log φ'(n) pair: φ off D, ~0 on D."""
-            lp = self.model.log_psi(params, bits)  # [N, 2]
+            lp = base_fwd(params, bits)  # [N, 2]
             _, member = lut_mod.lut_search(
                 self._d_sorted, onv_ops.pack_bits(bits)
             )
             la = jnp.where(member, lp[..., 0] - 690.0, lp[..., 0])
             return jnp.stack([la, lp[..., 1]], -1)
+
+        masked_log_psi = partial(_masked, self.model.log_psi)
+        masked_eval = partial(
+            _masked, self._eval_fwd or self.model.log_psi
+        )
 
         if self.cfg.grad_strategy not in (0, 1, 2):
             raise ValueError("grad_strategy must be 0, 1 or 2")
@@ -138,11 +151,13 @@ class NqsCi:
             w = jnp.where(member, 0, counts).astype(jnp.float64)
             w = w / jnp.maximum(w.sum(), 1.0)
 
-            # ---- deterministic pieces (functions of θ) ----
-            def h_cn_fn(p):
+            # ---- deterministic pieces (functions of θ).  base_fwd:
+            # model.log_psi for the AD copy inside the surrogate; the
+            # fast eval forward for the no-grad heff assembly ----
+            def h_cn_fn(p, base_fwd=self.model.log_psi):
                 from pynqs_tpu.ops import cplx
 
-                lp_d = self.model.log_psi(p, self._d_bits)  # [m, 2]
+                lp_d = base_fwd(p, self._d_bits)  # [m, 2]
                 flat_ci = self._ci_comb.reshape(-1, self._ci_comb.shape[-1])
                 if cfg.ci_chunk:
                     n = flat_ci.shape[0]
@@ -154,10 +169,10 @@ class NqsCi:
                                           (nb * blk - n, flat_ci.shape[1]))]
                     ).reshape(nb, blk, flat_ci.shape[1])
                     lp_flat = jax.lax.map(
-                        lambda r: self.model.log_psi(p, r), padded
+                        lambda r: base_fwd(p, r), padded
                     ).reshape(nb * blk, 2)[:n]
                 else:
-                    lp_flat = self.model.log_psi(p, flat_ci)
+                    lp_flat = base_fwd(p, flat_ci)
                 lp_c = lp_flat.reshape(self._ci_comb.shape[:2] + (2,))
                 phi_re, phi_im = cplx.exp_pair(lp_c)
                 norm2 = 1.0 - jnp.exp(2 * lp_d[..., 0]).sum()
@@ -166,16 +181,18 @@ class NqsCi:
                 h_im = (self._ci_hij * phi_im).sum(-1) / norm
                 return h_re, h_im
 
-            # ---- MC piece: H_nn ----
+            # ---- MC piece: H_nn (gradient-free — fast eval forward) ----
             eloc = local_energy_simple(
-                partial(masked_log_psi, params), bits, ops, table,
+                partial(masked_eval, params), bits, ops, table,
                 hpair=hpair, batch=cfg.eloc_batch,
             )  # [C, 2]
             alive = w > 0
             eloc = jnp.where(alive[:, None], eloc, 0.0)
             h_nn = (w * eloc[:, 0]).sum()
 
-            h_cn_re, _ = h_cn_fn(params)
+            h_cn_re, _ = h_cn_fn(
+                params, base_fwd=self._eval_fwd or self.model.log_psi
+            )
             # ---- assemble + eigensolve (real-symmetrized) ----
             heff = jnp.zeros((self.m + 1, self.m + 1), jnp.float64)
             heff = heff.at[: self.m, : self.m].set(self._h_cc)

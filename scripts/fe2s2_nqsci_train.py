@@ -139,8 +139,18 @@ def _train(args, sys_, model, params, ci):
         ci_chunk=args.ci_chunk, eloc_batch=args.eloc_batch,
         log_every=10,
     )
+    # gradient-free evaluations (H_nn connected block, no-grad H_cn)
+    # ride the Pallas fused forward; the coupled gradient's own
+    # forwards keep model.log_psi (the fused kernel has no VJP)
+    eval_fwd = None
+    if jax.default_backend() != "cpu":
+        from functools import partial as _partial
+
+        from pynqs_tpu.ops.fused_rnn import graph_mpsrnn_logpsi_fused
+
+        eval_fwd = _partial(graph_mpsrnn_logpsi_fused, model)
     nq = NqsCi(model, sys_, np.asarray(ci.bits, np.int8), cfg,
-               optimizer=optax.adam(args.lr))
+               optimizer=optax.adam(args.lr), eval_fwd=eval_fwd)
     t0 = time.time()
     params, c, hist = nq.run(jax.random.PRNGKey(29), params=params)
     dt = time.time() - t0

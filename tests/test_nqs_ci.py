@@ -266,3 +266,32 @@ def test_ci_polish_capture_mode_exact_truncated_projection():
     assert abs(e - e_ref) < 1e-8, (e, e_ref)
     assert e >= e_fci - 1e-9
     assert abs(info["captured_complement_fraction"] - 1.0) > 1e-3  # partial
+
+
+def test_nqs_ci_eval_fwd_plumbing_exact():
+    """eval_fwd (the fast gradient-free forward used for H_nn/H_cn
+    assembly at production scale, round 5) must reproduce the default
+    trajectory EXACTLY when it is model.log_psi itself — the option
+    may only change which kernel evaluates, never the estimator."""
+    import jax.numpy as jnp
+
+    sys = System.hubbard_1d(4, 2, 2, u=4.0)
+    dets = oracle.fci_space(sys.sorb, sys.noa, sys.nob)
+    H = oracle.dense_h(dets, sys.h1e, decompress_h2e(sys.h2e, sys.sorb))
+    _, v = np.linalg.eigh(H)
+    space = fci.fci_bits(sys.sorb, sys.noa, sys.nob)
+    order = np.argsort(-np.abs(v[:, 0]))[:6]
+    d_bits = space[np.sort(order)]
+
+    model = RNNWavefunction(sys.sorb, sys.noa, sys.nob, hidden=8,
+                            phase_hidden=4)
+    p0 = model.init(jax.random.PRNGKey(7))
+    cfg = NqsCiConfig(n_iter=5, lr=5e-3, n_sample=1 << 10,
+                      capacity=len(dets))
+    hists = []
+    for ef in (None, model.log_psi):
+        nc = NqsCi(model, sys, d_bits, cfg, eval_fwd=ef)
+        _, _, hist = nc.run(jax.random.PRNGKey(1),
+                            params=jax.tree.map(jnp.array, p0))
+        hists.append(np.asarray(hist))
+    np.testing.assert_array_equal(hists[0], hists[1])
