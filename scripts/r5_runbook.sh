@@ -37,9 +37,11 @@ if [ -f "$EMA" ]; then
 fi
 
 # 2. ci_polish capture-mode m-sweep (also the second independent
-#    exact E_VMC reading for the VERDICT #4 reconciliation)
+#    exact E_VMC reading for the VERDICT #4 reconciliation).
+#    m capped at 8192: the host f64 eigh is O(m^3) (~9 min at 8192,
+#    ~1 h + 4 GB at 16384 on this 1-core box)
 timeout 3000 $PY scripts/fe2s2_ci_polish.py "$CKPT" $FLAGS \
-    --capacity 8192 --m 2048,4096,8192,16384 --k-det 0 \
+    --capacity 8192 --m 2048,4096,8192 --k-det 0 \
     > logs/r5_cipolish.log 2>&1
 echo "[runbook] ci_polish rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
@@ -50,15 +52,25 @@ timeout 3000 $PY scripts/fe2s2_gfmc.py "$CKPT" $FLAGS \
     > logs/r5_gfmc.log 2>&1
 echo "[runbook] gfmc rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
-# 4. NqsCi training on the CPU-precomputed heat-bath CI space.
+# 4. NqsCi training on a heat-bath space grown from the state's own
+#    top capture determinants (better D-overlap with phi than the
+#    HF-seeded fallback checkpoints/fe2s2_hci_m1024.npz).
 #    m=1024: H_cn is m*(1+n_sd) XLA-forward rows per iteration WITH AD
 #    (the coupled gradient needs d log_psi / d theta, so the
 #    gradient-free fused kernel cannot serve it) — m=4096 would be
 #    ~32M rows/iter and blow the window.
-timeout 2400 $PY scripts/fe2s2_nqsci_train.py "$CKPT" $FLAGS \
-    --ci-file checkpoints/fe2s2_hci_m1024.npz --iters 150 \
+timeout 3000 $PY scripts/fe2s2_nqsci_train.py "$CKPT" $FLAGS \
+    --m 1024 --seed-dets 256 --eps1 3e-4 --iters 120 --tag nqsci \
     > logs/r5_nqsci.log 2>&1
 echo "[runbook] nqsci rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+
+# 4b. judged number for the NqsCi-updated params: capture-mode polish
+if [ -f checkpoints/fe2s2_r5_nqsci.pkl ]; then
+  timeout 1800 $PY scripts/fe2s2_ci_polish.py checkpoints/fe2s2_r5_nqsci.pkl \
+      $FLAGS --capacity 8192 --m 4096 --k-det 0 \
+      > logs/r5_nqsci_polish.log 2>&1
+  echo "[runbook] nqsci_polish rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+fi
 
 # 5. kernel work: pallas pair-select on-chip re-validation (round-5
 #    root cause says the round-3/4 "miscompile" was a harness bug),
