@@ -79,6 +79,12 @@ timeout 1800 $PY scripts/tpu_pallas_hij_check.py > logs/r5_pallas_hij.log 2>&1
 echo "[runbook] pallas_hij rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 timeout 1200 $PY scripts/profile_reduce_r4.py > logs/r5_profile_reduce.log 2>&1
 echo "[runbook] profile rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+timeout 900 $PY scripts/tune_fused_tb.py --dcut 64 --tbs 256,512,1024 \
+    > logs/r5_tune_tb64.log 2>&1
+echo "[runbook] tune_tb64 rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+timeout 900 $PY scripts/tune_fused_tb.py --dcut 48 --tbs 256,512,1024 \
+    > logs/r5_tune_tb48.log 2>&1
+echo "[runbook] tune_tb48 rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 timeout 1800 $PY scripts/tpu_prefix_sweep.py > logs/r5_prefix_sweep.log 2>&1
 echo "[runbook] prefix_sweep rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 BENCH_MODE=prefix timeout 900 $PY bench.py > logs/r5_bench_prefix.log 2>&1
