@@ -59,8 +59,8 @@ echo "[runbook] gfmc rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 #    (the coupled gradient needs d log_psi / d theta, so the
 #    gradient-free fused kernel cannot serve it) — m=4096 would be
 #    ~32M rows/iter and blow the window.
-timeout 3000 $PY scripts/fe2s2_nqsci_train.py "$CKPT" $FLAGS \
-    --m 1024 --seed-dets 256 --eps1 3e-4 --iters 120 --tag nqsci \
+timeout 3300 $PY scripts/fe2s2_nqsci_train.py "$CKPT" $FLAGS \
+    --m 1024 --seed-dets 256 --eps1 3e-4 --iters 100 --tag nqsci \
     > logs/r5_nqsci.log 2>&1
 echo "[runbook] nqsci rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
