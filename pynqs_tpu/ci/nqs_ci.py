@@ -133,8 +133,48 @@ class NqsCi:
         if self.cfg.grad_strategy not in (0, 1, 2):
             raise ValueError("grad_strategy must be 0, 1 or 2")
 
+        # ---- deterministic pieces (functions of θ).  base_fwd:
+        # model.log_psi for the AD copy inside the surrogate; the fast
+        # eval forward for the no-grad heff assembly ----
+        def h_cn_fn(p, base_fwd=self.model.log_psi):
+            from pynqs_tpu.ops import cplx
+
+            lp_d = base_fwd(p, self._d_bits)  # [m, 2]
+            flat_ci = self._ci_comb.reshape(-1, self._ci_comb.shape[-1])
+            if cfg.ci_chunk:
+                n = flat_ci.shape[0]
+                blk = cfg.ci_chunk
+                nb = -(-n // blk)
+                padded = jnp.concatenate(
+                    [flat_ci,
+                     jnp.broadcast_to(flat_ci[:1],
+                                      (nb * blk - n, flat_ci.shape[1]))]
+                ).reshape(nb, blk, flat_ci.shape[1])
+                lp_flat = jax.lax.map(
+                    lambda r: base_fwd(p, r), padded
+                ).reshape(nb * blk, 2)[:n]
+            else:
+                lp_flat = base_fwd(p, flat_ci)
+            lp_c = lp_flat.reshape(self._ci_comb.shape[:2] + (2,))
+            phi_re, phi_im = cplx.exp_pair(lp_c)
+            norm2 = 1.0 - jnp.exp(2 * lp_d[..., 0]).sum()
+            norm = jnp.sqrt(jnp.maximum(norm2, 1e-30))
+            h_re = (self._ci_hij * phi_re).sum(-1) / norm  # [m]
+            h_im = (self._ci_hij * phi_im).sum(-1) / norm
+            return h_re, h_im
+
+        # The per-iteration work is FOUR separate jitted programs with
+        # the eigensolve on the host between them, NOT one fused step:
+        # a single XLA module containing the AR sampler scan + the
+        # AD-of-chunked-forward + the eigh QR loop hits a pathological
+        # cross-program optimization blow-up (>40 min compile at the
+        # flagship shape where the pieces compile in ~30-150 s each —
+        # round-5 probe, logs/r5_compile_probe.log).  Host round-trips
+        # cost microseconds per iteration; the eigensolve also gains
+        # f64 (device x64 is unavailable on this TPU backend).
+
         @jax.jit
-        def step(params, opt_state, key, floor_on):
+        def draw(params, key):
             # ---- sample from φ, discard D members by weight-zeroing.
             # NOTE: ar_sampling's exclude_sorted_keys is NOT used here:
             # per-step exclusion renormalizes conditionals prefix by
@@ -150,37 +190,10 @@ class NqsCi:
             )
             w = jnp.where(member, 0, counts).astype(jnp.float64)
             w = w / jnp.maximum(w.sum(), 1.0)
+            return bits, w
 
-            # ---- deterministic pieces (functions of θ).  base_fwd:
-            # model.log_psi for the AD copy inside the surrogate; the
-            # fast eval forward for the no-grad heff assembly ----
-            def h_cn_fn(p, base_fwd=self.model.log_psi):
-                from pynqs_tpu.ops import cplx
-
-                lp_d = base_fwd(p, self._d_bits)  # [m, 2]
-                flat_ci = self._ci_comb.reshape(-1, self._ci_comb.shape[-1])
-                if cfg.ci_chunk:
-                    n = flat_ci.shape[0]
-                    blk = cfg.ci_chunk
-                    nb = -(-n // blk)
-                    padded = jnp.concatenate(
-                        [flat_ci,
-                         jnp.broadcast_to(flat_ci[:1],
-                                          (nb * blk - n, flat_ci.shape[1]))]
-                    ).reshape(nb, blk, flat_ci.shape[1])
-                    lp_flat = jax.lax.map(
-                        lambda r: base_fwd(p, r), padded
-                    ).reshape(nb * blk, 2)[:n]
-                else:
-                    lp_flat = base_fwd(p, flat_ci)
-                lp_c = lp_flat.reshape(self._ci_comb.shape[:2] + (2,))
-                phi_re, phi_im = cplx.exp_pair(lp_c)
-                norm2 = 1.0 - jnp.exp(2 * lp_d[..., 0]).sum()
-                norm = jnp.sqrt(jnp.maximum(norm2, 1e-30))
-                h_re = (self._ci_hij * phi_re).sum(-1) / norm  # [m]
-                h_im = (self._ci_hij * phi_im).sum(-1) / norm
-                return h_re, h_im
-
+        @jax.jit
+        def eloc_eval(params, bits, w):
             # ---- MC piece: H_nn (gradient-free — fast eval forward) ----
             eloc = local_energy_simple(
                 partial(masked_eval, params), bits, ops, table,
@@ -189,34 +202,20 @@ class NqsCi:
             alive = w > 0
             eloc = jnp.where(alive[:, None], eloc, 0.0)
             h_nn = (w * eloc[:, 0]).sum()
+            return eloc, h_nn
 
-            h_cn_re, _ = h_cn_fn(
+        @jax.jit
+        def hcn_eval(params):
+            h_re, _ = h_cn_fn(
                 params, base_fwd=self._eval_fwd or self.model.log_psi
             )
-            # ---- assemble + eigensolve (real-symmetrized) ----
-            heff = jnp.zeros((self.m + 1, self.m + 1), jnp.float64)
-            heff = heff.at[: self.m, : self.m].set(self._h_cc)
-            heff = heff.at[: self.m, self.m].set(h_cn_re)
-            heff = heff.at[self.m, : self.m].set(h_cn_re)
-            heff = heff.at[self.m, self.m].set(h_nn)
-            evals, evecs = jnp.linalg.eigh(heff)
-            c = jax.lax.stop_gradient(evecs[:, 0])
-            e_tot = evals[0]
+            return h_re
 
-            # ---- Hellmann–Feynman surrogate ----
-            cm = c[self.m]
-            strat = self.cfg.grad_strategy
-            pmin = self.cfg.cnqs_pow_min
-            cm2 = jnp.maximum(cm**2, 1e-300)
-            if strat == 0:
-                scale = jnp.where(floor_on, jnp.maximum(cm2, pmin) / cm2, 1.0)
-            elif strat == 1:
-                a = jnp.sqrt(cm2)
-                scale = jnp.where(
-                    floor_on, jnp.maximum(a, jnp.sqrt(pmin)) / a, 1.0
-                )
-            else:
-                scale = 1.0
+        strat = self.cfg.grad_strategy
+
+        @jax.jit
+        def grad_step(params, opt_state, bits, w, eloc, h_nn, c, scale):
+            alive = w > 0
 
             def surrogate(p):
                 lp = masked_log_psi(p, bits)  # [C, 2]
@@ -229,6 +228,7 @@ class NqsCi:
                 s_nn = 2.0 * (w * (cen * lp).sum(-1)).sum()
                 if strat == 2:
                     return s_nn
+                cm = c[self.m]
                 h_re_p, _ = h_cn_fn(p)
                 s_cn = 2.0 * (c[: self.m] @ h_re_p) * cm
                 return scale * (cm**2 * s_nn + s_cn)
@@ -236,9 +236,12 @@ class NqsCi:
             grads = jax.grad(surrogate)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, e_tot, c
+            return params, opt_state
 
-        self._step = step
+        self._draw = draw
+        self._eloc_eval = eloc_eval
+        self._hcn_eval = hcn_eval
+        self._grad_step = grad_step
         self.history: list[float] = []
 
     def run(self, key, params=None, n_iter=None):
@@ -249,14 +252,47 @@ class NqsCi:
             params = self.model.init(k)
         opt_state = self.tx.init(params)
         ecore = self.system.ecore
+        h_cc = np.asarray(self._h_cc, np.float64)
+        m = self.m
+        strat = cfg.grad_strategy
+        pmin = cfg.cnqs_pow_min
         c = None
         for it in range(n_iter):
             key, k = jax.random.split(key)
-            floor_on = jnp.asarray(it < self.cfg.start_iter)
-            params, opt_state, e, c = self._step(
-                params, opt_state, k, floor_on
+            bits, w = self._draw(params, k)
+            eloc, h_nn = self._eloc_eval(params, bits, w)
+            h_cn_re = self._hcn_eval(params)
+            # ---- assemble + eigensolve on the host (f64) ----
+            heff = np.zeros((m + 1, m + 1))
+            heff[:m, :m] = h_cc
+            heff[:m, m] = np.asarray(h_cn_re, np.float64)
+            heff[m, :m] = heff[:m, m]
+            heff[m, m] = float(h_nn)
+            evals, evecs = np.linalg.eigh(heff)
+            c = evecs[:, 0]
+            e_tot = float(evals[0])
+            # ---- warm-up floor (reference grad strategies 0/1) ----
+            floor_on = it < cfg.start_iter
+            cm2 = max(c[m] ** 2, 1e-300)
+            if strat == 0 and floor_on:
+                scale = max(cm2, pmin) / cm2
+            elif strat == 1 and floor_on:
+                a = np.sqrt(cm2)
+                scale = max(a, np.sqrt(pmin)) / a
+            else:
+                scale = 1.0
+            params, opt_state = self._grad_step(
+                params, opt_state, bits, w, eloc,
+                jnp.asarray(float(h_nn)), jnp.asarray(c),
+                jnp.asarray(float(scale)),
             )
-            self.history.append(float(e) + ecore)
+            self.history.append(e_tot + ecore)
+            if cfg.log_every and (it % cfg.log_every == 0 or
+                                  it == n_iter - 1):
+                print(
+                    f"[nqsci] iter {it:5d}  e_tot = {e_tot + ecore:.6f} Ha"
+                    f"  |c_m| = {abs(c[m]):.4f}", flush=True,
+                )
         return params, np.asarray(c), self.history
 
 
