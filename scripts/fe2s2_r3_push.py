@@ -86,6 +86,9 @@ def main():
                     help="train on H + c*S-S+ (reference use_spin_raising, "
                     "example/Fe2S2/Fe2S2-OO-dcut-20.py:161-163); logged "
                     "energy then includes the penalty")
+    ap.add_argument("--ckpt-interval", type=int, default=500,
+                    help="resume-checkpoint save interval (shrink when "
+                    "watchdog restarts are costly)")
     ap.add_argument("--tag", type=str, default="a")
     args = ap.parse_args()
 
@@ -219,7 +222,7 @@ def main():
         checkpoint_path=os.path.join(
             REPO, f"checkpoints/fe2s2_r3_{tag}_resume.pkl"
         ),
-        checkpoint_interval=500,
+        checkpoint_interval=args.ckpt_interval,
     )
     os.makedirs(os.path.join(REPO, "logs"), exist_ok=True)
     vmc = VMC(model, sys_, sampler, cfg)
