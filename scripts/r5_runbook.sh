@@ -1,9 +1,14 @@
 #!/bin/bash
 # Round-5 post-training TPU runbook (STATUS.md), fully autonomous:
-# waits for the training watchdog to exit, then runs each stage
-# serially (ONE TPU client at a time — CLAUDE.md) with timeouts so a
-# wedged tunnel can't eat the whole window.  Each stage logs to
-# logs/r5_<stage>.log; failures don't stop later stages.
+# runs each stage serially (ONE TPU client at a time — CLAUDE.md) with
+# timeouts so a wedged tunnel can't eat the whole window.  Each stage
+# logs to logs/r5_<stage>.log; failures don't stop later stages.
+#
+# Dispatch-size rule learned 07:08 this round: the exact-eloc REDUCE
+# (k_det = n_sd = 7876) at eloc batch 2048 = 16.1M connected rows per
+# dispatch CRASHED the TPU worker; the proven-safe scale is ~1.3M rows
+# per dispatch (the production (512,128) training step).  Every stage
+# below pins its eloc batch so batch*(1+n_sd) stays ~1M.
 set -u
 cd /root/repo
 PY=/opt/venv/bin/python
@@ -17,64 +22,62 @@ EMA=checkpoints/fe2s2_r3_dcut64_r5g64_ema.pkl
 FLAGS="--dcut 64 --use-tensor --max-preds 2"
 echo "[runbook] start $(date -u +%H:%M:%S) ckpt=$CKPT" >> logs/r5_runbook.log
 
-# 0. fused-forward on-chip parity gate (the round-5 R-matrix fold has
-#    never run compiled Mosaic; every later stage trusts this kernel)
-timeout 1500 $PY scripts/tpu_fused_parity_check.py "$CKPT" $FLAGS \
+# 0. fused-forward on-chip parity gate (miscompile bounds — see script)
+timeout 900 $PY scripts/tpu_fused_parity_check.py "$CKPT" $FLAGS \
     > logs/r5_parity.log 2>&1
 echo "[runbook] parity rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
 # 1. canonical honest-measure eval (exact eloc, no tail noise)
 timeout 2700 $PY scripts/eval_fe2s2_final.py "$CKPT" $FLAGS \
-    --capacity 16384 --k-det 0 --n-rep 4 \
+    --capacity 16384 --k-det 0 --n-rep 4 --batch 128 \
     > logs/r5_eval_final.log 2>&1
 echo "[runbook] eval_final rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
 if [ -f "$EMA" ]; then
   timeout 1500 $PY scripts/eval_fe2s2_final.py "$EMA" $FLAGS \
-      --capacity 16384 --k-det 0 --n-rep 2 \
+      --capacity 16384 --k-det 0 --n-rep 2 --batch 128 \
       > logs/r5_eval_ema.log 2>&1
   echo "[runbook] eval_ema rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 fi
 
-# 2. ci_polish capture-mode m-sweep (also the second independent
-#    exact E_VMC reading for the VERDICT #4 reconciliation).
-#    m capped at 8192: the host f64 eigh is O(m^3) (~9 min at 8192,
-#    ~1 h + 4 GB at 16384 on this 1-core box)
+# 2. ci_polish capture-mode m-sweep (second independent exact E_VMC
+#    reading for the VERDICT #4 reconciliation).  m capped at 8192:
+#    the host f64 eigh is O(m^3) (~9 min at 8192 on this 1-core box)
 timeout 3000 $PY scripts/fe2s2_ci_polish.py "$CKPT" $FLAGS \
     --capacity 8192 --m 2048,4096,8192 --k-det 0 \
+    --eloc-batch 128 --ci-chunk 128 \
     > logs/r5_cipolish.log 2>&1
 echo "[runbook] ci_polish rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
-# 3. GFMC with the round-5 Buonaura-Sorella estimator
-timeout 3000 $PY scripts/fe2s2_gfmc.py "$CKPT" $FLAGS \
-    --n-walkers 8192 --n-iter 400 --p-steps 10 --dedup-max 65536 \
+# 3. GFMC with the round-5 Buonaura-Sorella estimator.  2048 walkers:
+#    the trial block is W*(1+n_sd) rows in ONE dispatch (16M at 2048,
+#    2x the round-4 proven 1024; 8192 walkers = 64M would crash)
+timeout 2400 $PY scripts/fe2s2_gfmc.py "$CKPT" $FLAGS \
+    --n-walkers 2048 --n-iter 400 --p-steps 10 --dedup-max 65536 \
     --init-capacity 8192 --tail 200 \
     > logs/r5_gfmc.log 2>&1
 echo "[runbook] gfmc rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
 # 4. NqsCi training on a heat-bath space grown from the state's own
-#    top capture determinants (better D-overlap with phi than the
-#    HF-seeded fallback checkpoints/fe2s2_hci_m1024.npz).
-#    m=1024: H_cn is m*(1+n_sd) XLA-forward rows per iteration WITH AD
-#    (the coupled gradient needs d log_psi / d theta, so the
-#    gradient-free fused kernel cannot serve it) — m=4096 would be
-#    ~32M rows/iter and blow the window.
+#    top capture determinants (state-seeded: m=64 at +77 mHa vs
+#    HF-seeded m=1024 at +4003 mHa, smoke logs)
 timeout 3300 $PY scripts/fe2s2_nqsci_train.py "$CKPT" $FLAGS \
     --m 1024 --seed-dets 256 --eps1 3e-4 --iters 100 --tag nqsci \
+    --eloc-batch 256 \
     > logs/r5_nqsci.log 2>&1
 echo "[runbook] nqsci rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
 # 4b. judged number for the NqsCi-updated params: capture-mode polish
 if [ -f checkpoints/fe2s2_r5_nqsci.pkl ]; then
-  timeout 1800 $PY scripts/fe2s2_ci_polish.py checkpoints/fe2s2_r5_nqsci.pkl \
+  timeout 1500 $PY scripts/fe2s2_ci_polish.py checkpoints/fe2s2_r5_nqsci.pkl \
       $FLAGS --capacity 8192 --m 4096 --k-det 0 \
+      --eloc-batch 128 --ci-chunk 128 \
       > logs/r5_nqsci_polish.log 2>&1
   echo "[runbook] nqsci_polish rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 fi
 
-# 5. kernel work: pallas pair-select on-chip re-validation (round-5
-#    root cause says the round-3/4 "miscompile" was a harness bug),
-#    step decomposition at the training config, prefix win-or-negative
+# 5. kernel work: pallas pair-select on-chip re-validation, step
+#    decomposition at the training config, TB autotune, prefix sweep
 timeout 1800 $PY scripts/tpu_pallas_hij_check.py > logs/r5_pallas_hij.log 2>&1
 echo "[runbook] pallas_hij rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 timeout 1200 $PY scripts/profile_reduce_r4.py > logs/r5_profile_reduce.log 2>&1
@@ -85,7 +88,7 @@ echo "[runbook] tune_tb64 rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 timeout 900 $PY scripts/tune_fused_tb.py --dcut 48 --tbs 256,512,1024 \
     > logs/r5_tune_tb48.log 2>&1
 echo "[runbook] tune_tb48 rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
-timeout 1800 $PY scripts/tpu_prefix_sweep.py > logs/r5_prefix_sweep.log 2>&1
+timeout 1500 $PY scripts/tpu_prefix_sweep.py > logs/r5_prefix_sweep.log 2>&1
 echo "[runbook] prefix_sweep rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 BENCH_MODE=prefix timeout 900 $PY bench.py > logs/r5_bench_prefix.log 2>&1
 echo "[runbook] bench_prefix rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
