@@ -486,12 +486,27 @@ def ci_polish(
     w = jnp.exp(logw.astype(jnp.float64))
     w_live = w.sum()
     w = w / w_live
-    eloc = local_energy_reduce(
-        masked_fwd, sample_bits, ops, table, key,
-        k_det=min(k_det, table.n_sd), n_stoch=n_stoch, batch=eloc_batch,
-        hpair=hpair, topk="segmax",
+    # host-sliced eloc dispatches (~1.5 s each at 2048 rows x n_sd):
+    # one call over the full capture is minutes of device time in a
+    # single dispatch, which the axon tunnel kills (round-5)
+    eloc_slice = jax.jit(
+        lambda b, k: local_energy_reduce(
+            masked_fwd, b, ops, table, k,
+            k_det=min(k_det, table.n_sd), n_stoch=n_stoch,
+            batch=eloc_batch, hpair=hpair, topk="segmax",
+        )[:, 0]
     )
-    el64 = jnp.where(keep, eloc[:, 0].astype(jnp.float64), 0.0)
+    SLICE = 2048
+    n_rows = sample_bits.shape[0]
+    if n_rows <= SLICE:
+        el0 = eloc_slice(sample_bits, key)
+    else:
+        el0 = jnp.concatenate([
+            jnp.asarray(eloc_slice(sample_bits[s : s + SLICE],
+                                   jax.random.fold_in(key, s)))
+            for s in range(0, n_rows, SLICE)
+        ])
+    el64 = jnp.where(keep, el0.astype(jnp.float64), 0.0)
     h_nn = (w * el64).sum()
 
     # captured-complement coverage diagnostic: Σ_{capture\D}|φ|² vs the

@@ -113,13 +113,41 @@ def main():
             )
             return _cplx.add_exp(lp, lpf_signed, 0.5, 0.5 * eta)
 
+    # Host-orchestrated rep: every DEVICE DISPATCH stays ~1-2 s.  The
+    # original single-jit rep packed the full exact eloc (131k rows x
+    # 7.9k connected x 2 operators ~ 200 s of device time) into ONE
+    # dispatch, which the axon tunnel kills ("TPU worker crashed or
+    # restarted", logs/r5_eval_final.log 07:08/07:24) — measured safe
+    # granularity: 2048-row eloc slices at 1.5 s, fwd slices ~0.1 s
+    # (/tmp/probe2, round-5).
+    SLICE = 2048
+
     @jax.jit
-    def one(key):
-        bits, counts, dropped = ar_sampling_dfs(
+    def draw(key):
+        return ar_sampling_dfs(
             model, params, key, args.n_sample, capacity=args.capacity,
             n_group=args.n_group, split_depth=args.split_depth,
             capacity_root=args.capacity,
         )
+
+    fwd_slice = jax.jit(lambda b: fwd(b)[:, 0])
+    k_det = args.k_det if args.k_det > 0 else sys_.excitation.n_sd
+    n_stoch = args.n_stoch if args.k_det > 0 else 8
+    kw = dict(k_det=k_det, n_stoch=n_stoch, batch=args.batch)
+
+    @jax.jit
+    def el_slice(b, key):
+        return local_energy_reduce(
+            fwd, b, ops, sys_.excitation, key, hpair=hpair, **kw)[:, 0]
+
+    @jax.jit
+    def sl_slice(b, key):
+        return local_energy_reduce(
+            fwd, b, ops_s, sys_.excitation, key, hpair=hp_s, **kw)[:, 0]
+
+    def one(key):
+        bits, counts, dropped = draw(key)
+        n = bits.shape[0]
         # Rao-Blackwellized weights: exact |psi|^2 over the captured
         # unique set (99.9x% of the mass under DFS) instead of the
         # multinomial counts — removes the count noise entirely; the
@@ -127,31 +155,33 @@ def main():
         # dead capacity slots (counts == 0, padding bit rows) can carry
         # NaN/inf through fwd/eloc — mask them out of every reduction
         # (0 * NaN = NaN poisoned the first capacity-32768 eval)
-        live = (counts > 0).astype(jnp.float32)
-        lp = jax.lax.map(
-            lambda b: fwd(b)[:, 0],
-            bits.reshape(-1, args.batch, bits.shape[-1]),
-        ).reshape(-1)
-        lp_max = jnp.max(jnp.where(live > 0, lp, -jnp.inf))
-        p = jnp.where(live > 0, jnp.exp(2.0 * (lp - lp_max)), 0.0)
+        counts = np.asarray(counts)
+        live = counts > 0
+        lp = np.concatenate([
+            np.asarray(fwd_slice(bits[s : s + SLICE]))
+            for s in range(0, n, SLICE)
+        ]).astype(np.float64)
+        lp_max = lp[live].max()
+        p = np.where(live, np.exp(2.0 * (lp - lp_max)), 0.0)
         w_ex = p / p.sum()
-        w_ct = counts.astype(jnp.float32) / jnp.maximum(counts.sum(), 1)
-        k_det = args.k_det if args.k_det > 0 else sys_.excitation.n_sd
-        n_stoch = args.n_stoch if args.k_det > 0 else 8
-        kw = dict(k_det=k_det, n_stoch=n_stoch, batch=args.batch)
-        el = local_energy_reduce(
-            fwd, bits, ops, sys_.excitation,
-            jax.random.fold_in(key, 1), hpair=hpair, **kw)
-        sl = local_energy_reduce(
-            fwd, bits, ops_s, sys_.excitation,
-            jax.random.fold_in(key, 2), hpair=hp_s, **kw)
-        el0 = jnp.where(live > 0, el[:, 0], 0.0)
-        sl0 = jnp.where(live > 0, sl[:, 0], 0.0)
+        w_ct = counts.astype(np.float64) / max(counts.sum(), 1)
+        el = np.concatenate([
+            np.asarray(el_slice(bits[s : s + SLICE],
+                                jax.random.fold_in(key, 1000 + s)))
+            for s in range(0, n, SLICE)
+        ]).astype(np.float64)
+        sl = np.concatenate([
+            np.asarray(sl_slice(bits[s : s + SLICE],
+                                jax.random.fold_in(key, 2000 + s)))
+            for s in range(0, n, SLICE)
+        ]).astype(np.float64)
+        el0 = np.where(live, el, 0.0)
+        sl0 = np.where(live, sl, 0.0)
         e = (w_ex * el0).sum()
         e_ct = (w_ct * el0).sum()
-        var = (w_ex * jnp.where(live > 0, (el0 - e) ** 2, 0.0)).sum()
-        s = (w_ex * sl0).sum()
-        return e, e_ct, var, s, dropped, live.sum()
+        var = (w_ex * np.where(live, (el0 - e) ** 2, 0.0)).sum()
+        s_ = (w_ex * sl0).sum()
+        return e, e_ct, var, s_, float(dropped), float(live.sum())
 
     es, ecs, vs, ss, ds = [], [], [], [], []
     for i in range(args.n_rep):

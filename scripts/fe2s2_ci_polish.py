@@ -107,13 +107,26 @@ def main():
              else jnp.asarray(np.asarray(sys_.tables.hpair), jnp.float32))
     kd = args.k_det if args.k_det > 0 else sys_.excitation.n_sd
     ns = args.n_stoch if args.k_det > 0 else 8
-    el = local_energy_reduce(
-        fwd, bits, ops, sys_.excitation, jax.random.PRNGKey(21),
-        k_det=min(kd, sys_.excitation.n_sd), n_stoch=ns,
-        batch=args.eloc_batch, hpair=hpair, topk="segmax",
-    )
+    # host-sliced dispatches: one eloc call over the full capture is
+    # minutes of device time in one dispatch, which the axon tunnel
+    # kills (round-5 canonical-eval crash) — 2048-row slices are 1.5 s
+    SLICE = 2048
+
+    @jax.jit
+    def el_slice(b, key):
+        return local_energy_reduce(
+            fwd, b, ops, sys_.excitation, key,
+            k_det=min(kd, sys_.excitation.n_sd), n_stoch=ns,
+            batch=args.eloc_batch, hpair=hpair, topk="segmax",
+        )[:, 0]
+
+    el0 = np.concatenate([
+        np.asarray(el_slice(bits[s : s + SLICE],
+                            jax.random.PRNGKey(21 + s)))
+        for s in range(0, bits.shape[0], SLICE)
+    ])
     w = p / p.sum()
-    el64 = np.where(live, np.asarray(el[:, 0], np.float64), 0.0)
+    el64 = np.where(live, el0.astype(np.float64), 0.0)
     e_vmc = float((w * el64).sum()) + sys_.ecore
     print(f"E_VMC (exact weights, same set) = {e_vmc:.6f} Ha "
           f"({(e_vmc - sys_.e_ref) * 1000:+.3f} mHa)", flush=True)
