@@ -11,11 +11,19 @@ CKPT=checkpoints/fe2s2_r3_dcut64_r5g64_ema.pkl
 FLAGS="--dcut 64 --use-tensor --max-preds 2"
 echo "[runbook3] start $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
-timeout 2700 $PY scripts/fe2s2_ci_polish.py "$CKPT" $FLAGS \
-    --capacity 16384 --m 4096,8192 --k-det 0 \
+timeout 2400 $PY scripts/fe2s2_ci_polish.py "$CKPT" $FLAGS \
+    --capacity 16384 --m 4096 --k-det 0 \
     --eloc-batch 128 --ci-chunk 128 \
     > logs/r5_cipolish16k.log 2>&1
 echo "[runbook3] cipolish16k rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
+
+# GFMC with the round-5 Buonaura-Sorella estimator (2048 walkers:
+# the [W, 1+n_sd] trial block is one dispatch; 2x the round-4 1024)
+timeout 2400 $PY scripts/fe2s2_gfmc.py "$CKPT" $FLAGS \
+    --n-walkers 2048 --n-iter 400 --p-steps 10 --dedup-max 65536 \
+    --init-capacity 8192 --tail 200 \
+    > logs/r5_gfmc.log 2>&1
+echo "[runbook3] gfmc rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
 
 timeout 1800 $PY scripts/tpu_pallas_hij_check.py > logs/r5_pallas_hij.log 2>&1
 echo "[runbook3] pallas_hij rc=$? $(date -u +%H:%M:%S)" >> logs/r5_runbook.log
