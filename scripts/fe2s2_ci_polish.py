@@ -53,6 +53,16 @@ def main():
                     help="'capture' = exact truncated-basis variational "
                          "bound (default); 'complement' = exact H_cn + "
                          "estimated H_nn (coverage-biased)")
+    ap.add_argument("--fwd-dtype", choices=["bf16", "f32", "xla"],
+                    default="bf16",
+                    help="forward precision.  The polish eigenvalue "
+                         "needs mutually CONSISTENT matrix entries; "
+                         "quantization noise that averages out of the "
+                         "VMC estimator does not average out of an "
+                         "eigensolve.  'xla' = site-loop forward with "
+                         "jax_default_matmul_precision=highest (true "
+                         "f32 — the fused kernel's f32 dots are still "
+                         "Mosaic-default precision)")
     args = ap.parse_args()
 
     from pynqs_tpu.utils.jaxcache import enable_compilation_cache
@@ -77,7 +87,13 @@ def main():
     if isinstance(params, dict) and "params" in params:
         params = params["params"]
     params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
-    fwd = partial(graph_mpsrnn_logpsi_fused, model, params)
+    if args.fwd_dtype == "xla":
+        jax.config.update("jax_default_matmul_precision", "highest")
+        fwd = partial(model.log_psi, params)
+    else:
+        mmdt = jnp.float32 if args.fwd_dtype == "f32" else jnp.bfloat16
+        fwd = partial(graph_mpsrnn_logpsi_fused, model, params,
+                      matmul_dtype=mmdt)
     if jax.default_backend() == "cpu":
         fwd = partial(model.log_psi, params)
 
